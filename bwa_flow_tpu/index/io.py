@@ -1,0 +1,182 @@
+"""bwa-compatible index file IO (.bwt/.sa/.pac/.ann/.amb[/.alt]).
+
+Formats follow bwa 0.7.x exactly (bwa/bwt.c:385-462, bwa/bntseq.c:66-206,
+bwa/bwtindex.c:131-173) so indexes interoperate in both directions: stock
+``bwa index`` output loads here, and indexes built by this package load in
+the reference binaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .fmindex import Amb, Annotation, FMIndex, ReferenceMeta
+
+OCC_INTERVAL = 128  # bwa/bwt.h:36
+
+
+def _bwt_to_u8(seq_len: int, words: np.ndarray) -> np.ndarray:
+    """Expand 16-symbols-per-uint32 packing into a uint8 symbol array."""
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    sym = ((words[:, None] >> shifts[None, :]) & 3).astype(np.uint8).reshape(-1)
+    return sym[:seq_len]
+
+
+def write_bwt(path: str, fm_bwt_u8: np.ndarray, primary: int, L2: np.ndarray) -> None:
+    """Dump .bwt with the classic 128-symbol occ interleave."""
+    seq_len = len(fm_bwt_u8)
+    n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    pad = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint8)
+    pad[:seq_len] = fm_bwt_u8
+    per_blk = pad.reshape(n_blocks, OCC_INTERVAL)
+    # cumulative counts before each block; padding symbols (0) beyond seq_len
+    # are excluded by counting on the unpadded array
+    cum = np.zeros((n_blocks + 1, 4), dtype=np.uint64)
+    for c in range(4):
+        cnt = (per_blk == c).sum(axis=1).astype(np.uint64)
+        if seq_len % OCC_INTERVAL:
+            tail = fm_bwt_u8[n_blocks * OCC_INTERVAL - OCC_INTERVAL:]
+            cnt[-1] = np.uint64((tail == c).sum())
+        cum[1:, c] = np.cumsum(cnt)
+    # pack words, 16 symbols per uint32, first symbol in top bits
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    words_all = (per_blk.reshape(-1, 16).astype(np.uint32) << shifts[None, :]) \
+        .sum(axis=1, dtype=np.uint32)
+    n_words = (seq_len + 15) // 16
+    with open(path, "wb") as f:
+        np.uint64(primary).tofile(f)
+        L2[1:5].astype(np.uint64).tofile(f)
+        w = 0
+        for b in range(n_blocks):
+            cum[b].tofile(f)
+            take = min(8, n_words - w)
+            words_all[w:w + take].tofile(f)
+            w += take
+        cum[n_blocks].tofile(f)
+
+
+def read_bwt(path: str) -> tuple[np.ndarray, int, np.ndarray]:
+    """Returns ($-removed bwt symbols uint8, primary, L2[5])."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    primary = int(raw[:8].view(np.uint64)[0])
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = raw[8:40].view(np.uint64).astype(np.int64)
+    seq_len = int(L2[4])
+    body = raw[40:].view(np.uint32)
+    n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    n_words = (seq_len + 15) // 16
+    words = np.empty(n_words, dtype=np.uint32)
+    w = 0
+    pos = 0
+    for _ in range(n_blocks):
+        pos += 8  # skip 4x uint64 counts
+        take = min(8, n_words - w)
+        words[w:w + take] = body[pos:pos + take]
+        pos += take
+        w += take
+    return _bwt_to_u8(seq_len, words), primary, L2
+
+
+def write_sa(path: str, fm: FMIndex) -> None:
+    with open(path, "wb") as f:
+        np.uint64(fm.primary).tofile(f)
+        fm.L2[1:5].astype(np.uint64).tofile(f)
+        np.uint64(fm.sa_intv).tofile(f)
+        np.uint64(fm.seq_len).tofile(f)
+        fm.sa[1:].astype(np.uint64).tofile(f)
+
+
+def read_sa(path: str, seq_len: int, primary: int) -> tuple[int, np.ndarray]:
+    raw = np.fromfile(path, dtype=np.uint64)
+    assert int(raw[0]) == primary, "SA-BWT inconsistency: primary mismatch"
+    sa_intv = int(raw[5])
+    assert int(raw[6]) == seq_len, "SA-BWT inconsistency: seq_len mismatch"
+    n_sa = (seq_len + sa_intv) // sa_intv
+    sa = np.empty(n_sa, dtype=np.int64)
+    sa[0] = -1
+    sa[1:] = raw[7:7 + n_sa - 1].astype(np.int64)
+    return sa_intv, sa
+
+
+def write_pac(path: str, bns: ReferenceMeta) -> None:
+    with open(path, "wb") as f:
+        n_bytes = (bns.l_pac >> 2) + (0 if bns.l_pac % 4 == 0 else 1)
+        bns.pac[:n_bytes].tofile(f)
+        if bns.l_pac % 4 == 0:
+            f.write(b"\x00")
+        f.write(bytes([bns.l_pac % 4]))
+
+
+def read_pac(path: str, l_pac: int) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.uint8)
+    n_bytes = (l_pac + 3) // 4
+    return raw[:n_bytes].copy()
+
+
+def write_ann_amb(prefix: str, bns: ReferenceMeta) -> None:
+    with open(prefix + ".ann", "w") as f:
+        f.write(f"{bns.l_pac} {len(bns.anns)} {bns.seed}\n")
+        for a in bns.anns:
+            anno = a.anno if a.anno else "(null)"
+            f.write(f"{a.gi} {a.name} {anno}\n")
+            f.write(f"{a.offset} {a.len} {a.n_ambs}\n")
+    with open(prefix + ".amb", "w") as f:
+        f.write(f"{bns.l_pac} {len(bns.anns)} {len(bns.ambs)}\n")
+        for h in bns.ambs:
+            f.write(f"{h.offset} {h.len} {h.amb}\n")
+
+
+def read_ann_amb(prefix: str) -> ReferenceMeta:
+    anns: list[Annotation] = []
+    with open(prefix + ".ann") as f:
+        first = f.readline().split()
+        l_pac, n_seqs, seed = int(first[0]), int(first[1]), int(first[2])
+        for _ in range(n_seqs):
+            hdr = f.readline().rstrip("\n").split(" ", 2)
+            gi, name = int(hdr[0]), hdr[1]
+            anno = hdr[2] if len(hdr) > 2 else ""
+            if anno == "(null)":
+                anno = ""
+            meta = f.readline().split()
+            anns.append(Annotation(name=name, anno=anno, offset=int(meta[0]),
+                                   len=int(meta[1]), n_ambs=int(meta[2]), gi=gi))
+    ambs: list[Amb] = []
+    with open(prefix + ".amb") as f:
+        first = f.readline().split()
+        assert int(first[0]) == l_pac and int(first[1]) == n_seqs, \
+            "inconsistent .ann and .amb files"
+        for _ in range(int(first[2])):
+            parts = f.readline().split()
+            ambs.append(Amb(offset=int(parts[0]), len=int(parts[1]), amb=parts[2]))
+    if os.path.exists(prefix + ".alt"):
+        names = {a.name: a for a in anns}
+        with open(prefix + ".alt") as f:
+            for line in f:
+                tok = line.split("\t")[0].split()[0] if line.strip() else ""
+                if tok and not tok.startswith("@") and tok in names:
+                    names[tok].is_alt = 1
+    pac = read_pac(prefix + ".pac", l_pac)
+    bns = ReferenceMeta(l_pac=l_pac, anns=anns, ambs=ambs, pac=pac, seed=seed)
+    return bns
+
+
+def save_index(prefix: str, fm: FMIndex) -> None:
+    """Write the full bwa-compatible artifact set for ``fm``."""
+    write_bwt(prefix + ".bwt", fm.bwt_symbols(), fm.primary, fm.L2)
+    write_sa(prefix + ".sa", fm)
+    assert fm.bns is not None
+    write_pac(prefix + ".pac", fm.bns)
+    write_ann_amb(prefix, fm.bns)
+
+
+def load_index(prefix: str) -> FMIndex:
+    """Load stock ``bwa index`` output into an FMIndex."""
+    bwt_u8, primary, L2 = read_bwt(prefix + ".bwt")
+    seq_len = int(L2[4])
+    sa_intv, sa = read_sa(prefix + ".sa", seq_len, primary)
+    bns = read_ann_amb(prefix)
+    fm = FMIndex.from_bwt(bwt_u8, primary, sa_intv, sa, bns=bns)
+    assert fm.seq_len == seq_len and (fm.L2 == L2).all()
+    return fm
