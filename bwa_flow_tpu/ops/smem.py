@@ -1,0 +1,164 @@
+"""Golden (NumPy) SMEM seeding.
+
+Exact reimplementation of the reference seeding front-end:
+  - bwt_smem1a      (bwa/bwt.c:289-351)
+  - bwt_seed_strategy1 (bwa/bwt.c:358-379)
+  - mem_collect_intv (bwa/bwamem.c:120-168: SMEM pass, re-seeding pass,
+    LAST-like third pass, sort by info)
+
+An interval is (k, l, s, info) with info = start<<32 | end, matching
+bwtintv_t (bwa/bwt.h:60-63).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..index.fmindex import FMIndex
+from ..utils.opts import MemOpt
+from . import fm as fmops
+
+
+@dataclasses.dataclass
+class Intv:
+    x0: int
+    x1: int
+    s: int
+    info: int  # start<<32 | end
+
+    @property
+    def start(self) -> int:
+        return self.info >> 32
+
+    @property
+    def end(self) -> int:
+        return self.info & 0xFFFFFFFF
+
+
+def smem1a(fm: FMIndex, q: np.ndarray, x: int, min_intv: int,
+           max_intv: int = 0) -> tuple[int, list[Intv]]:
+    """SMEMs covering position x. Returns (end-of-longest-match, mems)."""
+    length = len(q)
+    mems: list[Intv] = []
+    if q[x] > 3:
+        return x + 1, mems
+    if min_intv < 1:
+        min_intv = 1
+    ik = fmops.set_intv(fm, int(q[x]))
+    ik_info = x + 1
+    curr: list[tuple[np.ndarray, int]] = []
+
+    i = x + 1
+    while i < length:  # forward search
+        if ik[2] < max_intv:  # an interval small enough
+            curr.append((ik.copy(), ik_info))
+            break
+        elif q[i] < 4:
+            c = 3 - int(q[i])
+            ok = fmops.bwt_extend(fm, ik, is_back=False)
+            if ok[c, 2] != ik[2]:  # change of the interval size
+                curr.append((ik.copy(), ik_info))
+                if ok[c, 2] < min_intv:
+                    break
+            ik = ok[c].copy()
+            ik_info = i + 1
+        else:  # ambiguous base: always terminate
+            curr.append((ik.copy(), ik_info))
+            break
+        i += 1
+    if i == length:
+        curr.append((ik.copy(), ik_info))
+    curr.reverse()  # longer matches (smaller intervals) first
+    ret = curr[0][1]
+    prev = curr
+    # stale forward-loop ik is consulted by the max_intv gate below,
+    # reproducing the reference's use of the captured variable (bwt.c:330)
+    stale_s = int(ik[2])
+
+    i = x - 1
+    while i >= -1:  # backward search for MEMs
+        c = -1 if i < 0 or q[i] > 3 else int(q[i])
+        curr = []
+        for (p, p_info) in prev:
+            ok = None
+            if c >= 0 and stale_s >= max_intv:
+                ok = fmops.bwt_extend(fm, p, is_back=True)
+            if c < 0 or stale_s < max_intv or ok[c, 2] < min_intv:
+                if len(curr) == 0:  # no longer match survives
+                    if len(mems) == 0 or i + 1 < (mems[-1].info >> 32):
+                        mems.append(Intv(int(p[0]), int(p[1]), int(p[2]),
+                                         ((i + 1) << 32) | p_info))
+            elif len(curr) == 0 or ok[c, 2] != curr[-1][0][2]:
+                curr.append((ok[c].copy(), p_info))
+        if len(curr) == 0:
+            break
+        prev = curr
+        i -= 1
+    mems.reverse()  # sorted by start coordinate
+    return ret, mems
+
+
+def seed_strategy1(fm: FMIndex, q: np.ndarray, x: int, min_len: int,
+                   max_intv: int) -> tuple[int, Intv | None]:
+    """LAST-like forward-only seeding (bwa/bwt.c:358-379)."""
+    length = len(q)
+    if q[x] > 3:
+        return x + 1, None
+    ik = fmops.set_intv(fm, int(q[x]))
+    for i in range(x + 1, length):
+        if q[i] < 4:
+            c = 3 - int(q[i])
+            ok = fmops.bwt_extend(fm, ik, is_back=False)
+            if ok[c, 2] < max_intv and i - x >= min_len:
+                m = Intv(int(ok[c, 0]), int(ok[c, 1]), int(ok[c, 2]),
+                         (x << 32) | (i + 1))
+                return i + 1, m
+            ik = ok[c].copy()
+        else:
+            return i + 1, None
+    return length, None
+
+
+def collect_intv(opt: MemOpt, fm: FMIndex, q: np.ndarray) -> list[Intv]:
+    """All seeding intervals for one read, sorted by info
+    (bwa/bwamem.c:120-168)."""
+    length = len(q)
+    mems: list[Intv] = []
+    start_width = 1
+    split_len = opt.split_len
+    # first pass: all SMEMs
+    x = 0
+    while x < length:
+        if q[x] < 4:
+            x, m1 = smem1a(fm, q, x, start_width, 0)
+            for p in m1:
+                if (p.info & 0xFFFFFFFF) - (p.info >> 32) >= opt.min_seed_len:
+                    mems.append(p)
+        else:
+            x += 1
+    # second pass: re-seed long, low-occurrence SMEMs from their middle
+    old_n = len(mems)
+    for k in range(old_n):
+        p = mems[k]
+        start, end = p.info >> 32, p.info & 0xFFFFFFFF
+        if end - start < split_len or p.s > opt.split_width:
+            continue
+        _, m1 = smem1a(fm, q, (start + end) >> 1, p.s + 1, 0)
+        for pp in m1:
+            if (pp.info & 0xFFFFFFFF) - (pp.info >> 32) >= opt.min_seed_len:
+                mems.append(pp)
+    # third pass: LAST-like
+    if opt.max_mem_intv > 0:
+        x = 0
+        while x < length:
+            if q[x] < 4:
+                x, m = seed_strategy1(fm, q, x, opt.min_seed_len,
+                                      opt.max_mem_intv)
+                if m is not None and m.s > 0:
+                    mems.append(m)
+            else:
+                x += 1
+    mems.sort(key=lambda p: p.info)
+    return mems
