@@ -1,0 +1,214 @@
+"""Device (JAX/XLA) FM-index primitives — batched occ / extend / SA lookup.
+
+TPU-native formulation of the reference's FM machinery (bwa/bwt.c:107-287):
+the index lives in HBM as the block layout of index/fmindex.py (one 32-byte
+int32 row per 64 symbols: 4 counts + 4 packed words), and every primitive is
+vectorized over a batch of probes:
+
+  - one occ probe  = one row gather + popcount of xor-matched 2-bit slots
+    (4 uint32 words, VPU popcount — no per-symbol loop)
+  - bwt_extend     = two all-symbol probes (k-1, k-1+s) + the bidirectional
+    chain (bwa/bwt.c:262-275)
+  - sa lookup      = batched LF-walk to a sampled row with a fixed iteration
+    budget and an overflow mask (bwa/bwt.c:86-96); callers redo overflows on
+    host, mirroring the reference's FPGA redo-on-overflow pattern
+    (/root/reference/src/fpga/FPGAPipeline.cpp:706-714).
+
+Row coordinates need 33 bits for human (seq_len = 2*l_pac ~ 6.2e9) so the
+batch state is int64; block indices (k>>6 < 2^31) and occ counts
+(per-symbol < 2^31) stay int32 where it matters for gather throughput.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fmindex import BLOCK, FMIndex
+
+
+class DeviceFM(NamedTuple):
+    """Device-resident FM-index (a pytree of jnp arrays).
+
+    Mirrors FMIndex (index/fmindex.py) but jit-traceable. `seq_len`,
+    `primary` are 0-d int64; `L2` is int64[5]; `fm_blocks` int32[n_blocks,8];
+    `sa` int64[n_sa]; `sa_intv` 0-d int32 (power of two).
+    """
+
+    seq_len: jnp.ndarray
+    primary: jnp.ndarray
+    L2: jnp.ndarray
+    fm_blocks: jnp.ndarray
+    sa_intv: jnp.ndarray
+    sa: jnp.ndarray
+
+    @classmethod
+    def from_host(cls, fm: FMIndex) -> "DeviceFM":
+        return cls(
+            seq_len=jnp.asarray(fm.seq_len, dtype=jnp.int64),
+            primary=jnp.asarray(fm.primary, dtype=jnp.int64),
+            L2=jnp.asarray(fm.L2, dtype=jnp.int64),
+            fm_blocks=jnp.asarray(fm.fm_blocks, dtype=jnp.int32),
+            sa_intv=jnp.asarray(fm.sa_intv, dtype=jnp.int32),
+            sa=jnp.asarray(fm.sa, dtype=jnp.int64),
+        )
+
+
+_PAIR_MASK = np.uint32(0x55555555)
+
+
+def _count_slots(words: jnp.ndarray, c: jnp.ndarray, within: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """#matches of 2-bit symbol c among the first `within` symbols of a
+    [..., 4]-word uint32 slab (16 symbols/word, first symbol in top bits).
+
+    words: uint32[..., 4]; c: int32[...] in [0,3]; within: int32[...] in
+    [0,64]. Returns int32[...].
+    """
+    pat = (c.astype(jnp.uint32) * _PAIR_MASK)[..., None]
+    x = ~(words ^ pat)
+    hits = x & (x >> 1) & _PAIR_MASK  # one bit per matching symbol slot
+    # symbols t=0..15 sit at bit pair (15-t)*2: the first n symbols of a
+    # word are its top 2n bits
+    n_w = jnp.clip(within[..., None] - jnp.arange(4, dtype=jnp.int32) * 16,
+                   0, 16)
+    shift = jnp.minimum(2 * (16 - n_w), 31).astype(jnp.uint32)  # clamp: n_w=0
+    keep = jnp.where(n_w == 0, jnp.uint32(0),
+                     ~((jnp.uint32(1) << shift) - 1))
+    masked = hits & keep
+    return jax.lax.population_count(masked).sum(-1).astype(jnp.int32)
+
+
+def _row_words(dfm: DeviceFM, blk: jnp.ndarray
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather fm block rows: returns (counts int32[...,4], words uint32[...,4])."""
+    rows = dfm.fm_blocks[blk]  # [..., 8]
+    counts = rows[..., :4]
+    words = jax.lax.bitcast_convert_type(rows[..., 4:8], jnp.uint32)
+    return counts, words
+
+
+def occ_batch(dfm: DeviceFM, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """occ(k, c) for row coords k in [-1, seq_len] (bwa/bwt.c:107-129).
+
+    k: int64[...]; c: int32[...]. Returns int64[...]."""
+    at_end = k == dfm.seq_len
+    at_neg = k == -1
+    kk = k - (k >= dfm.primary).astype(k.dtype)
+    kk = jnp.clip(kk, 0, dfm.seq_len - 1)
+    blk = (kk // BLOCK).astype(jnp.int32)
+    within = (kk % BLOCK).astype(jnp.int32) + 1
+    counts, words = _row_words(dfm, blk)
+    base = jnp.take_along_axis(counts, c[..., None], axis=-1)[..., 0]
+    val = base.astype(jnp.int64) + _count_slots(words, c, within)
+    end_val = jnp.take(dfm.L2, c + 1) - jnp.take(dfm.L2, c)
+    return jnp.where(at_neg, 0, jnp.where(at_end, end_val, val))
+
+
+def occ4_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
+    """All-symbol occ at row coords k (bwa/bwt.c:169-186).
+
+    k: int64[...]. Returns int64[..., 4]."""
+    at_end = (k == dfm.seq_len)[..., None]
+    at_neg = (k == -1)[..., None]
+    kk = k - (k >= dfm.primary).astype(k.dtype)
+    kk = jnp.clip(kk, 0, dfm.seq_len - 1)
+    blk = (kk // BLOCK).astype(jnp.int32)
+    within = (kk % BLOCK).astype(jnp.int32) + 1
+    counts, words = _row_words(dfm, blk)
+    c4 = jnp.arange(4, dtype=jnp.int32)
+    cnt = _count_slots(words[..., None, :], jnp.broadcast_to(c4, kk.shape + (4,)),
+                       within[..., None])
+    val = counts.astype(jnp.int64) + cnt
+    end_val = dfm.L2[1:5] - dfm.L2[0:4]
+    return jnp.where(at_neg, 0, jnp.where(at_end, end_val, val))
+
+
+def bwt_extend_batch(dfm: DeviceFM, ik: jnp.ndarray, is_back: bool
+                     ) -> jnp.ndarray:
+    """Bidirectional extension for a batch of intervals (bwa/bwt.c:262-275).
+
+    ik: int64[..., 3] = (k, l, s); is_back is static. Returns
+    ok: int64[..., 4, 3]: ok[c] = the interval after adding base c."""
+    fwd = 0 if is_back else 1
+    bwd = 1 - fwd
+    x_f = ik[..., fwd]
+    s = ik[..., 2]
+    both = jnp.stack([x_f - 1, x_f - 1 + s], axis=-1)  # [..., 2]
+    occ2 = occ4_batch(dfm, both)                        # [..., 2, 4]
+    tk = occ2[..., 0, :]
+    tl = occ2[..., 1, :]
+    ok_fwd = dfm.L2[:4] + 1 + tk                        # [..., 4]
+    ok_s = tl - tk
+    crosses = ((x_f <= dfm.primary) & (x_f + s - 1 >= dfm.primary)
+               ).astype(jnp.int64)
+    b3 = ik[..., bwd] + crosses
+    b2 = b3 + ok_s[..., 3]
+    b1 = b2 + ok_s[..., 2]
+    b0 = b1 + ok_s[..., 1]
+    ok_bwd = jnp.stack([b0, b1, b2, b3], axis=-1)
+    out = jnp.empty(ik.shape[:-1] + (4, 3), dtype=jnp.int64)
+    out = out.at[..., fwd].set(ok_fwd)
+    out = out.at[..., bwd].set(ok_bwd)
+    out = out.at[..., 2].set(ok_s)
+    return out
+
+
+def set_intv_batch(dfm: DeviceFM, c: jnp.ndarray) -> jnp.ndarray:
+    """Initial single-base intervals (bwa/bwt.h:80). c: int32[...] in [0,3].
+    Returns int64[..., 3]."""
+    k = jnp.take(dfm.L2, c) + 1
+    l = jnp.take(dfm.L2, 3 - c) + 1
+    s = jnp.take(dfm.L2, c + 1) - jnp.take(dfm.L2, c)
+    return jnp.stack([k, l, s], axis=-1)
+
+
+def bwt_b0_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
+    """Symbol at $-removed BWT position k (bwa/bwt.h:78). int64[...] -> int32."""
+    blk = (k // BLOCK).astype(jnp.int32)
+    off = (k % BLOCK).astype(jnp.int32)
+    rows = dfm.fm_blocks[blk]
+    words = jax.lax.bitcast_convert_type(rows[..., 4:8], jnp.uint32)
+    word = jnp.take_along_axis(words, (off[..., None] >> 4), axis=-1)[..., 0]
+    shift = ((15 - (off & 15)) << 1).astype(jnp.uint32)
+    return ((word >> shift) & 3).astype(jnp.int32)
+
+
+def _inv_psi_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
+    """LF-mapping step (bwa/bwt.c:53-59). int64[...] -> int64[...]."""
+    x = k - (k > dfm.primary).astype(k.dtype)
+    c = bwt_b0_batch(dfm, x)
+    lf = jnp.take(dfm.L2, c) + occ_batch(dfm, k, c)
+    return jnp.where(k == dfm.primary, 0, lf)
+
+
+def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
+             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Suffix-array values via batched LF-walk (bwa/bwt.c:86-96).
+
+    k: int64[B]. Walks every lane until it hits a sampled row (k % sa_intv
+    == 0) or `max_iters` steps. Returns (sa int64[B], overflow bool[B]);
+    overflow lanes must be recomputed on host (expected walk ~ sa_intv/2
+    steps; bwa default sa_intv=32 makes 256 a >8x budget)."""
+    mask = (dfm.sa_intv - 1).astype(jnp.int64)
+    def cond(state):
+        kk, steps, it = state
+        return (it < max_iters) & jnp.any(kk & mask != 0)
+
+    def body(state):
+        kk, steps, it = state
+        live = (kk & mask) != 0
+        kk2 = _inv_psi_batch(dfm, kk)
+        kk = jnp.where(live, kk2, kk)
+        steps = steps + live.astype(jnp.int64)
+        return kk, steps, it + 1
+
+    steps0 = jnp.zeros_like(k)
+    kf, steps, _ = jax.lax.while_loop(cond, body, (k, steps0, 0))
+    overflow = (kf & mask) != 0
+    idx = (kf // dfm.sa_intv.astype(jnp.int64)).astype(jnp.int64)
+    idx = jnp.clip(idx, 0, dfm.sa.shape[0] - 1)
+    return steps + dfm.sa[idx], overflow

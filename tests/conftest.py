@@ -5,7 +5,10 @@ validates multi-chip sharding without real chips)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env pins JAX_PLATFORMS to the real-TPU tunnel
+# (axon), which must stay reserved for bench.py — a setdefault would NOT
+# override it and every test op would round-trip through the tunnel.
+os.environ["JAX_PLATFORMS"] = os.environ.get("BWA_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
