@@ -1,0 +1,393 @@
+"""Device (JAX/XLA) SMEM seeding — a batched FM-index state machine.
+
+TPU-native replacement for the reference seeding front-end
+(mem_collect_intv, bwa/bwamem.c:120-168; FPGA variant
+/root/reference/src/bwa_wrapper.cpp:207-246 + the SMEM FPGA kernel fed by
+SMemTask, /root/reference/src/fpga/SMemTask.cpp). The FPGA restructure's key
+insight — replace bwa's coupled backward list-pruning pass with an
+*independent backward walk per forward break interval* — is what makes the
+algorithm fixed-shape; this module keeps that insight but derives its own
+emission rule so the output is *exactly* bwa's bwt_smem1a semantics (not
+the FPGA's flagstat-level approximation):
+
+  For break intervals processed longest-forward-first, backward death
+  steps r_j are non-increasing (containment), and bwa emits exactly the
+  first interval of each distinct-r cohort, with its own (k, l, s) state at
+  maximal backward reach. So: walk each break independently, emit when
+  r < r_prev. Total extend count equals bwa's backward pass.
+
+Execution model: one unified `lax.while_loop` state machine, vectorized
+over a batch of reads. Every iteration performs exactly one batched
+bwt_extend (two occ row-gathers) for all lanes; each lane interprets it
+according to its mode (pivot-scan / forward-walk / backward-walk / done).
+Fixed budgets (break slots, mem slots, iterations) with per-lane overflow
+flags; overflowing reads are redone on host by the golden implementation,
+mirroring the reference's FPGA redo-on-overflow
+(/root/reference/src/fpga/FPGAPipeline.cpp:706-714).
+
+Three passes, matching mem_collect_intv: (1) all SMEMs from scanning
+pivots; (2) re-seed long low-occ SMEMs from their middle with
+min_intv = s+1; (3) LAST-like forward-only seeding (bwa/bwt.c:358-379).
+Results are sorted by `info` on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fmindex import FMIndex
+from ..utils.opts import MemOpt
+from . import smem as smem_golden
+from .fm_jax import DeviceFM, occ4_batch, set_intv_batch
+
+I32 = jnp.int32
+I64 = jnp.int64
+BIG32 = jnp.int32(1 << 30)
+
+
+def bwt_extend_dir_batch(dfm: DeviceFM, ik: jnp.ndarray,
+                         is_back: jnp.ndarray) -> jnp.ndarray:
+    """bwt_extend with a per-lane direction flag (bwa/bwt.c:262-275).
+
+    ik: int64[B, 3]; is_back: bool[B]. Returns ok int64[B, 4, 3].
+    The two occ probes are shared between directions."""
+    probe = jnp.where(is_back, ik[:, 0], ik[:, 1])
+    s = ik[:, 2]
+    occ2 = occ4_batch(dfm, jnp.stack([probe - 1, probe - 1 + s], axis=-1))
+    tk, tl = occ2[:, 0, :], occ2[:, 1, :]
+    ok_probe = dfm.L2[:4] + 1 + tk                       # [B, 4]
+    ok_s = tl - tk
+    crosses = ((probe <= dfm.primary) & (probe + s - 1 >= dfm.primary)
+               ).astype(I64)
+    base = jnp.where(is_back, ik[:, 1], ik[:, 0]) + crosses
+    b3 = base
+    b2 = b3 + ok_s[:, 3]
+    b1 = b2 + ok_s[:, 2]
+    b0 = b1 + ok_s[:, 1]
+    derived = jnp.stack([b0, b1, b2, b3], axis=-1)
+    isb = is_back[:, None]
+    ok_k = jnp.where(isb, ok_probe, derived)
+    ok_l = jnp.where(isb, derived, ok_probe)
+    return jnp.stack([ok_k, ok_l, ok_s], axis=-1)
+
+
+class _MachineConsts(NamedTuple):
+    L: int
+    MAXB: int
+    MAXM: int
+    ITERS: int
+
+
+def _take1(arr, idx):
+    """arr[b, idx[b]] along axis 1 (idx assumed clamped)."""
+    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+
+def _take_row(arr, idx):
+    """arr[b, idx[b], :] for [B, N, 3] arrays."""
+    return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0, :]
+
+
+def _scatter_row(arr, idx, val, do):
+    """arr[b, idx[b], :] = val[b] where do[b] (dropped rows use idx=N)."""
+    safe = jnp.where(do, idx, arr.shape[1]).astype(I32)
+    return arr.at[jnp.arange(arr.shape[0]), safe].set(val, mode="drop")
+
+
+def _scatter1(arr, idx, val, do):
+    safe = jnp.where(do, idx, arr.shape[1]).astype(I32)
+    return arr.at[jnp.arange(arr.shape[0]), safe].set(val, mode="drop")
+
+
+def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
+                    min_seed_len, st0, task_mode: bool,
+                    task_x=None, task_mi=None, n_task=None):
+    """Shared pass-1/pass-2 SMEM machine. In task_mode, pivots come from a
+    per-lane (x, min_intv) task list; otherwise pivots scan the read with
+    the bwa jump rule (x <- end of longest match)."""
+    B = q.shape[0]
+    jl = jnp.arange(c.L, dtype=I32)[None, :]
+
+    def cond(s):
+        return (s["it"] < c.ITERS) & jnp.any(s["mode"] != 3)
+
+    def step(s):
+        mode = s["mode"]
+        # ---------------- mode 0: acquire next pivot ----------------
+        m0 = mode == 0
+        if task_mode:
+            has = s["tcur"] < n_task
+            nx = _take1(task_x, jnp.clip(s["tcur"], 0, c.MAXM - 1))
+            nmi = _take1(task_mi, jnp.clip(s["tcur"], 0, c.MAXM - 1))
+            new_x = jnp.where(m0 & has, nx, s["x"])
+            new_mi = jnp.where(m0 & has, nmi, s["min_intv"])
+            tcur = jnp.where(m0, s["tcur"] + 1, s["tcur"])
+            found = has
+        else:
+            ok_piv = (jl >= s["x"][:, None]) & (jl < qlen[:, None]) & (q < 4)
+            cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
+            found = cand < BIG32
+            new_x = jnp.where(m0 & found, cand, s["x"])
+            new_mi = s["min_intv"]
+            tcur = s["tcur"]
+        qx = _take1(q, jnp.clip(new_x, 0, c.L - 1))
+        init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
+        start_fwd = m0 & found
+        mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
+        x = new_x
+        ik = jnp.where(start_fwd[:, None], init_ik, s["ik"])
+        ik_info = jnp.where(start_fwd, x + 1, s["ik_info"])
+        i = jnp.where(start_fwd, x + 1, s["i"])
+        nb = jnp.where(start_fwd, 0, s["nb"])
+
+        # ---------------- the one shared extend ----------------
+        m1 = mode == 1
+        m2 = mode == 2
+        ext_in = jnp.where(m2[:, None], s["bst"], ik)
+        ok = bwt_extend_dir_batch(dfm, ext_in, m2)
+
+        # ---------------- mode 1: forward walk ----------------
+        q_i = _take1(q, jnp.clip(i, 0, c.L - 1))
+        end_now = m1 & ((i >= qlen) | (q_i > 3))
+        cf = jnp.clip(3 - q_i, 0, 3)
+        okc_f = _take_row(ok, cf)
+        changed = okc_f[:, 2] != ik[:, 2]
+        die_small = changed & (okc_f[:, 2] < new_mi)
+        push = m1 & (end_now | changed)
+        to_back = m1 & (end_now | die_small)
+        adv = m1 & ~to_back
+
+        nb_ovf = push & (nb >= c.MAXB)
+        curr_kls = _scatter_row(s["curr_kls"], nb, ik, push & ~nb_ovf)
+        curr_end = _scatter1(s["curr_end"], nb, ik_info, push & ~nb_ovf)
+        nb = jnp.where(push & ~nb_ovf, nb + 1, nb)
+
+        ik = jnp.where(adv[:, None], okc_f, ik)
+        ik_info = jnp.where(adv, i + 1, ik_info)
+        i = jnp.where(adv, i + 1, i)
+
+        # fwd -> back transition (nb >= 1 always: something was pushed)
+        last = jnp.clip(nb - 1, 0, c.MAXB - 1)
+        pivot_next = jnp.where(to_back, _take1(curr_end, last),
+                               s["pivot_next"])
+        slot = jnp.where(to_back, nb - 1, s["slot"])
+        bst = jnp.where(to_back[:, None], _take_row(curr_kls, last),
+                        s["bst"])
+        i_b = jnp.where(to_back, x - 1, s["i_b"])
+        r_prev = jnp.where(to_back, BIG32, s["r_prev"])
+        mode = jnp.where(to_back, 2, mode)
+
+        # ---------------- mode 2: backward walk ----------------
+        q_b = _take1(q, jnp.clip(i_b, 0, c.L - 1))
+        valid_c = (i_b >= 0) & (q_b < 4)
+        cb = jnp.clip(q_b, 0, 3)
+        okc_b = _take_row(ok, cb)
+        dead = m2 & (~valid_c | (okc_b[:, 2] < new_mi))
+        walk = m2 & ~dead
+        bst = jnp.where(walk[:, None], okc_b, bst)
+        i_b2 = jnp.where(walk, i_b - 1, i_b)
+
+        # death: cohort emission (see module docstring)
+        r = i_b
+        e_slot = _take1(curr_end, jnp.clip(slot, 0, c.MAXB - 1))
+        emit = dead & (r < s["r_prev"]) \
+            & ((e_slot - (r + 1)) >= min_seed_len)
+        info = (((r + 1).astype(I64) << 32)
+                | e_slot.astype(I64))
+        new_mem = jnp.concatenate([bst, info[:, None]], axis=1)
+        mem_ovf = emit & (s["n_mem"] >= c.MAXM)
+        mems = _scatter_row(s["mems"], s["n_mem"], new_mem, emit & ~mem_ovf)
+        n_mem = jnp.where(emit & ~mem_ovf, s["n_mem"] + 1, s["n_mem"])
+        r_prev = jnp.where(dead, r, r_prev)
+
+        slot2 = jnp.where(dead, slot - 1, slot)
+        more = dead & (slot2 >= 0)
+        nxt = jnp.clip(slot2, 0, c.MAXB - 1)
+        bst = jnp.where(more[:, None], _take_row(curr_kls, nxt), bst)
+        i_b2 = jnp.where(more, x - 1, i_b2)
+        back_done = dead & (slot2 < 0)
+        mode = jnp.where(back_done, 0, mode)
+        if not task_mode:  # bwa pivot jump: x <- end of longest match
+            x = jnp.where(back_done, pivot_next, x)
+
+        ovf = s["ovf"] | nb_ovf | mem_ovf
+        mode = jnp.where(nb_ovf | mem_ovf, 3, mode)
+        return dict(mode=mode, x=x, i=i, ik=ik, ik_info=ik_info,
+                    min_intv=new_mi, nb=nb, curr_kls=curr_kls,
+                    curr_end=curr_end, slot=slot2, bst=bst, i_b=i_b2,
+                    r_prev=r_prev, pivot_next=pivot_next, tcur=tcur,
+                    mems=mems, n_mem=n_mem, ovf=ovf, it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, step, st0)
+    out["ovf"] = out["ovf"] | (out["mode"] != 3)  # iteration budget blown
+    return out
+
+
+def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
+                   min_seed_len, max_mem_intv, mems, n_mem, ovf):
+    """LAST-like third pass (bwt_seed_strategy1, bwa/bwt.c:358-379)."""
+    B = q.shape[0]
+    jl = jnp.arange(c.L, dtype=I32)[None, :]
+    st0 = dict(mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
+               i=jnp.zeros(B, I32),
+               ik=jnp.zeros((B, 3), I64), mems=mems, n_mem=n_mem,
+               ovf=ovf, it=jnp.zeros((), I32))
+
+    def cond(s):
+        return (s["it"] < c.ITERS) & jnp.any(s["mode"] != 3)
+
+    def step(s):
+        mode = s["mode"]
+        m0 = mode == 0
+        ok_piv = (jl >= s["x"][:, None]) & (jl < qlen[:, None]) & (q < 4)
+        cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
+        found = cand < BIG32
+        x = jnp.where(m0 & found, cand, s["x"])
+        qx = _take1(q, jnp.clip(x, 0, c.L - 1))
+        init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
+        start = m0 & found
+        mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
+        ik = jnp.where(start[:, None], init_ik, s["ik"])
+        i = jnp.where(start, x + 1, s["i"])
+
+        m1 = mode == 1
+        ended = m1 & (i >= qlen)          # loop exhausted: jump to len
+        q_i = _take1(q, jnp.clip(i, 0, c.L - 1))
+        amb = m1 & ~ended & (q_i > 3)     # N base: jump to i+1, no seed
+        live = m1 & ~ended & ~amb
+        ok = bwt_extend_dir_batch(dfm, ik, jnp.zeros(ik.shape[0], bool))
+        cf = jnp.clip(3 - q_i, 0, 3)
+        okc = _take_row(ok, cf)
+        hit = live & (okc[:, 2] < max_mem_intv) & ((i - x) >= min_seed_len)
+        emit = hit & (okc[:, 2] > 0)
+        info = ((x.astype(I64) << 32) | (i + 1).astype(I64))
+        new_mem = jnp.concatenate([okc, info[:, None]], axis=1)
+        mem_ovf = emit & (s["n_mem"] >= c.MAXM)
+        mems2 = _scatter_row(s["mems"], s["n_mem"], new_mem,
+                             emit & ~mem_ovf)
+        n_mem = jnp.where(emit & ~mem_ovf, s["n_mem"] + 1, s["n_mem"])
+
+        walk = live & ~hit
+        ik = jnp.where(walk[:, None], okc, ik)
+        i2 = jnp.where(walk, i + 1, i)
+        # pivot jumps
+        x = jnp.where(ended, qlen, jnp.where(amb | hit, i + 1, x))
+        mode = jnp.where(ended | amb | hit, 0, mode)
+        return dict(mode=mode, x=x, i=i2, ik=ik, mems=mems2, n_mem=n_mem,
+                    ovf=s["ovf"] | mem_ovf, it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, step, st0)
+    return out["mems"], out["n_mem"], out["ovf"] | (out["mode"] != 3)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
+                        ITERS: int, q: jnp.ndarray, qlen: jnp.ndarray,
+                        min_seed_len: jnp.ndarray, split_len: jnp.ndarray,
+                        split_width: jnp.ndarray, max_mem_intv: jnp.ndarray
+                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All seeding intervals for a batch of reads (mem_collect_intv,
+    bwa/bwamem.c:120-168), sorted by info.
+
+    q: int32[B, L] (0..4; pad >= 4 beyond qlen); qlen int32[B].
+    Returns (mems int64[B, MAXM, 4] = (k, l, s, info), n_mem int32[B],
+    overflow bool[B])."""
+    B = q.shape[0]
+    c = _MachineConsts(L, MAXB, MAXM, ITERS)
+
+    def fresh(mems, n_mem, ovf, min_intv):
+        return dict(
+            mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
+            i=jnp.zeros(B, I32), ik=jnp.zeros((B, 3), I64),
+            ik_info=jnp.zeros(B, I32), min_intv=min_intv,
+            nb=jnp.zeros(B, I32),
+            curr_kls=jnp.zeros((B, MAXB, 3), I64),
+            curr_end=jnp.zeros((B, MAXB), I32),
+            slot=jnp.zeros(B, I32), bst=jnp.zeros((B, 3), I64),
+            i_b=jnp.zeros(B, I32), r_prev=jnp.full(B, BIG32, I32),
+            pivot_next=jnp.zeros(B, I32), tcur=jnp.zeros(B, I32),
+            mems=mems, n_mem=n_mem, ovf=ovf, it=jnp.zeros((), I32))
+
+    mems0 = jnp.zeros((B, MAXM, 4), I64)
+    n0 = jnp.zeros(B, I32)
+    ovf0 = jnp.zeros(B, bool)
+
+    # pass 1: scan pivots, min_intv = 1
+    s1 = _pass12_machine(dfm, c, q, qlen, min_seed_len,
+                         fresh(mems0, n0, ovf0, jnp.ones(B, I64)),
+                         task_mode=False)
+    mems, n_mem, ovf = s1["mems"], s1["n_mem"], s1["ovf"]
+
+    # pass 2: re-seed long low-occ SMEMs from the middle, min_intv = s+1
+    slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
+    start = (mems[:, :, 3] >> 32).astype(I32)
+    end = (mems[:, :, 3] & 0xFFFFFFFF).astype(I32)
+    want = (slot_i < n_mem[:, None]) \
+        & ((end - start) >= split_len) \
+        & (mems[:, :, 2] <= split_width.astype(I64))
+    order = jnp.argsort(~want, axis=1, stable=True)
+    mid = ((start + end) >> 1).astype(I32)
+    task_x = jnp.take_along_axis(mid, order, axis=1)
+    task_mi = jnp.take_along_axis(mems[:, :, 2] + 1, order, axis=1)
+    n_task = want.sum(axis=1).astype(I32)
+
+    s2 = _pass12_machine(dfm, c, q, qlen, min_seed_len,
+                         fresh(mems, n_mem, ovf, jnp.ones(B, I64)),
+                         task_mode=True, task_x=task_x, task_mi=task_mi,
+                         n_task=n_task)
+    mems, n_mem, ovf = s2["mems"], s2["n_mem"], s2["ovf"]
+
+    # pass 3: LAST-like forward-only seeding (skipped if max_mem_intv <= 0)
+    mems3, n3, ovf3 = _pass3_machine(dfm, c, q, qlen, min_seed_len,
+                                     max_mem_intv, mems, n_mem, ovf)
+    use3 = max_mem_intv > 0
+    mems = jnp.where(use3, mems3, mems)
+    n_mem = jnp.where(use3, n3, n_mem)
+    ovf = jnp.where(use3, ovf3, ovf)
+
+    # final sort by info (ks_introsort mem_intv semantics)
+    key = jnp.where(slot_i < n_mem[:, None], mems[:, :, 3],
+                    jnp.iinfo(jnp.int64).max)
+    order = jnp.argsort(key, axis=1)
+    mems = jnp.take_along_axis(mems, order[:, :, None], axis=1)
+    return mems, n_mem, ovf
+
+
+def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
+                       reads: list[np.ndarray], L: int = 256,
+                       MAXB: int = 64, MAXM: int = 128,
+                       iters_factor: int = 16
+                       ) -> list[list[smem_golden.Intv]]:
+    """Host wrapper: pad reads to [B, L], run the device machine, unpack to
+    Intv lists; reads that overflowed any budget are redone with the golden
+    implementation (reference redo pattern, FPGAPipeline.cpp:706-714)."""
+    B = len(reads)
+    q = np.full((B, L), 4, dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    for b, r in enumerate(reads):
+        n = min(len(r), L)
+        q[b, :n] = r[:n]
+        qlen[b] = n
+    mems, n_mem, ovf = collect_intv_device(
+        dfm, L, MAXB, MAXM, L * iters_factor,
+        jnp.asarray(q), jnp.asarray(qlen),
+        jnp.asarray(opt.min_seed_len, I32), jnp.asarray(opt.split_len, I32),
+        jnp.asarray(opt.split_width, I32),
+        jnp.asarray(opt.max_mem_intv, I64))
+    mems = np.asarray(mems)
+    n_mem = np.asarray(n_mem)
+    ovf = np.asarray(ovf)
+    out = []
+    for b, r in enumerate(reads):
+        if ovf[b] or len(r) > L:
+            out.append(smem_golden.collect_intv(opt, fm, r))
+            continue
+        lst = [smem_golden.Intv(int(k), int(l), int(s), int(info))
+               for k, l, s, info in mems[b, :n_mem[b]]]
+        out.append(lst)
+    return out

@@ -5,14 +5,24 @@ validates multi-chip sharding without real chips)."""
 
 import os
 
-# Force CPU: the session env pins JAX_PLATFORMS to the real-TPU tunnel
-# (axon), which must stay reserved for bench.py — a setdefault would NOT
-# override it and every test op would round-trip through the tunnel.
+# Force CPU. Two traps in this environment:
+#  1. the session env pins JAX_PLATFORMS to the real-TPU tunnel (axon);
+#  2. /root/.axon_site/sitecustomize.py runs at interpreter start, imports
+#     jax and calls jax.config.update("jax_platforms", "axon,cpu") — which
+#     OVERRIDES the env var. So env manipulation alone is not enough; the
+#     config must be re-updated after import. Without this, "CPU" tests
+#     silently run on the TPU through the remote-compile tunnel (large
+#     programs hang for minutes there).
 os.environ["JAX_PLATFORMS"] = os.environ.get("BWA_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms",
+                  os.environ.get("BWA_TPU_TEST_PLATFORM", "cpu"))
 
 import numpy as np
 import pytest

@@ -1,0 +1,86 @@
+"""Device SMEM machine vs golden collect_intv — exact set/list equality of
+(k, l, s, info) after the info sort, over reads with SNPs, indels and Ns."""
+
+import numpy as np
+
+from bwa_flow_tpu.ops import smem as smem_golden
+from bwa_flow_tpu.ops import fm_jax, smem_jax
+from bwa_flow_tpu.utils.opts import MemOpt
+
+
+def _sample_reads(rng, contigs, n, L=101):
+    reads = []
+    code = np.full(256, 4, dtype=np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        code[ch] = i
+    seqs = [np.frombuffer(s, dtype=np.uint8) for _, _, s in contigs]
+    for _ in range(n):
+        seq = seqs[int(rng.integers(0, len(seqs)))]
+        pos = int(rng.integers(0, max(1, len(seq) - L)))
+        r = code[seq[pos:pos + L]].astype(np.int32).copy()
+        kind = rng.random()
+        if kind < 0.35:  # SNPs
+            m = rng.random(len(r)) < 0.05
+            r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
+        elif kind < 0.5:  # N run
+            st = int(rng.integers(0, max(1, len(r) - 6)))
+            r[st:st + 4] = 4
+        elif kind < 0.65:  # deletion in read
+            cut = int(rng.integers(1, len(r) - 2))
+            r = np.concatenate([r[:cut], r[cut + 2:]])
+        elif kind < 0.75:  # random (unmappable) read
+            r = rng.integers(0, 4, size=len(r)).astype(np.int32)
+        reads.append(r.astype(np.uint8))
+    return reads
+
+
+def _mems_key(lst):
+    return [(m.x0, m.x1, m.s, m.info) for m in lst]
+
+
+def test_collect_intv_device_matches_golden(small_index, rng):
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    reads = _sample_reads(rng, contigs, 48)
+    got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128)
+    for b, r in enumerate(reads):
+        want = smem_golden.collect_intv(opt, fm, r)
+        # golden sort is by info only; ties may order differently — compare
+        # as multisets of full tuples
+        assert sorted(_mems_key(got[b])) == sorted(_mems_key(want)), \
+            f"read {b}: {len(got[b])} vs {len(want)} mems"
+
+
+def test_collect_intv_device_no_pass3(small_index, rng):
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt(max_mem_intv=0)
+    reads = _sample_reads(rng, contigs, 16)
+    got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128)
+    for b, r in enumerate(reads):
+        want = smem_golden.collect_intv(opt, fm, r)
+        assert sorted(_mems_key(got[b])) == sorted(_mems_key(want))
+
+
+def test_collect_intv_overflow_fallback(small_index, rng):
+    """Tiny budgets force the device machine to overflow; the wrapper must
+    fall back to golden and still return exact results."""
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    reads = _sample_reads(rng, contigs, 8)
+    got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128,
+                                      MAXB=2, MAXM=4, iters_factor=1)
+    for b, r in enumerate(reads):
+        want = smem_golden.collect_intv(opt, fm, r)
+        assert sorted(_mems_key(got[b])) == sorted(_mems_key(want))
+
+
+def test_collect_intv_all_n_read(small_index):
+    fm, _ = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    reads = [np.full(50, 4, dtype=np.uint8)]
+    got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128)
+    assert got[0] == []
