@@ -38,20 +38,20 @@ def _row_gather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def extend_batch(qmax: int, tmax: int,
-                 query: jnp.ndarray, qlen: jnp.ndarray,
-                 target: jnp.ndarray, tlen: jnp.ndarray,
-                 h0: jnp.ndarray, mat: jnp.ndarray,
-                 o_del: jnp.ndarray, e_del: jnp.ndarray,
-                 o_ins: jnp.ndarray, e_ins: jnp.ndarray,
-                 w: jnp.ndarray, end_bonus: jnp.ndarray,
-                 zdrop: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
-    """Batched ksw_extend2. All arrays int32; query/target hold 0..4.
+def extend_core(qmax: int, tmax: int,
+                query: jnp.ndarray, qlen: jnp.ndarray,
+                target: jnp.ndarray, tlen: jnp.ndarray,
+                h0: jnp.ndarray, mat: jnp.ndarray,
+                o_del: jnp.ndarray, e_del: jnp.ndarray,
+                o_ins: jnp.ndarray, e_ins: jnp.ndarray,
+                w: jnp.ndarray, end_bonus: jnp.ndarray,
+                zdrop: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Traceable batched ksw_extend2 (compose under an outer jit).
 
     query: [B, qmax], target: [B, tmax], qlen/tlen/h0: [B]; mat: [5, 5];
-    scoring params are 0-d. Lanes with qlen == 0 return zeros.
-    Returns (score, qle, tle, gtle, gscore, max_off), each int32[B].
+    `w` may be 0-d or per-lane [B] (the band-doubling retry passes 2w for
+    selected lanes). Returns (score, qle, tle, gtle, gscore, max_off),
+    each int32[B]; degenerate lanes give (h0, 0, 0, 0, -1, 0).
     """
     B = query.shape[0]
     i32 = jnp.int32
@@ -214,6 +214,9 @@ def extend_batch(qmax: int, tmax: int,
     # (h0, 0, 0, 0, -1, 0), matching the golden degenerate path
     return (st["maxv"], st["max_j"] + 1, st["max_i"] + 1,
             st["max_ie"] + 1, st["gscore"], st["max_off"])
+
+
+extend_batch = jax.jit(extend_core, static_argnums=(0, 1))
 
 
 def extend_batch_np(query: np.ndarray, qlen: np.ndarray, target: np.ndarray,

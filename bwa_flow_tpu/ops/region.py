@@ -82,9 +82,67 @@ def default_extend(opt: MemOpt, qs: np.ndarray, rs: np.ndarray, w: int,
                            opt.zdrop, h0)
 
 
-def mem_chain2aln(opt: MemOpt, fm: FMIndex, l_query: int, query: np.ndarray,
-                  c: Chain, regs: list[AlnReg], extend=default_extend) -> None:
-    """Banded extension of each seed in the chain (bwamem.c:641-795)."""
+@dataclasses.dataclass
+class SeedExtTask:
+    """One coupled seed-extension task (one chain seed): the unit the device
+    kernel (ops/chain2aln_jax.py) processes. Left sequences are reversed."""
+
+    q_left: np.ndarray
+    t_left: np.ndarray
+    q_right: np.ndarray
+    t_right: np.ndarray
+    h0: int
+
+
+_EMPTY = np.empty(0, dtype=np.uint8)
+
+
+def run_task_host(opt: MemOpt, task: SeedExtTask, extend=default_extend
+                  ) -> tuple[int, ...]:
+    """Golden execution of one SeedExtTask: bwa band-doubling left+right
+    (bwamem.c:716-779). Returns the 12-tuple
+    (lscore, lqle, ltle, lgtle, lgscore, aw0,
+     rscore, rqle, rtle, rgtle, rgscore, aw1)."""
+    if len(task.q_left):
+        score = -1
+        lqle = ltle = lgtle = lgscore = 0
+        aw0 = opt.w
+        for i in range(MAX_BAND_TRY):
+            prev = score
+            aw0 = opt.w << i
+            score, lqle, ltle, lgtle, lgscore, max_off = extend(
+                opt, task.q_left, task.t_left, aw0, opt.pen_clip5, task.h0)
+            if score == prev or max_off < (aw0 >> 1) + (aw0 >> 2):
+                break
+        lres = (score, lqle, ltle, lgtle, lgscore, aw0)
+    else:
+        lres = (task.h0, 0, 0, 0, 0, opt.w)
+    sc0 = lres[0]
+    if len(task.q_right):
+        score = sc0
+        rqle = rtle = rgtle = rgscore = 0
+        aw1 = opt.w
+        for i in range(MAX_BAND_TRY):
+            prev = score
+            aw1 = opt.w << i
+            score, rqle, rtle, rgtle, rgscore, max_off = extend(
+                opt, task.q_right, task.t_right, aw1, opt.pen_clip3, sc0)
+            if score == prev or max_off < (aw1 >> 1) + (aw1 >> 2):
+                break
+        rres = (score, rqle, rtle, rgtle, rgscore, aw1)
+    else:
+        rres = (sc0, 0, 0, 0, 0, opt.w)
+    return lres + rres
+
+
+def chain2aln_tasks(opt: MemOpt, fm: FMIndex, l_query: int,
+                    query: np.ndarray, c: Chain, regs: list[AlnReg]):
+    """Generator form of mem_chain2aln (bwamem.c:641-795): yields one
+    SeedExtTask per extended seed, receives its 12-tuple result via
+    ``send``, and appends the finished AlnReg to ``regs``. The skip
+    heuristics consult ``regs`` between yields, so driving this generator
+    one task at a time reproduces the sequential semantics exactly — the
+    device pipeline interleaves many reads' generators to form batches."""
     bns = fm.bns
     l_pac = bns.l_pac
     if c.n == 0:
@@ -154,58 +212,53 @@ def mem_chain2aln(opt: MemOpt, fm: FMIndex, l_query: int, query: np.ndarray,
                 srt_alive[k] = False
                 continue
 
-        a = AlnReg()
-        a.w = aw0 = aw1 = opt.w
-        a.score = a.truesc = -1
-        a.rid = c.rid
-        gscore = qle = tle = gtle = 0
-
-        if s.qbeg:  # left extension
-            qs = query[s.qbeg - 1::-1].copy()
+        if s.qbeg:  # left extension inputs (reversed)
+            qs_l = query[s.qbeg - 1::-1].copy()
             tmp = s.rbeg - rmax0
-            rs = rseq[tmp - 1::-1].copy() if tmp else np.empty(0, np.uint8)
-            for i in range(MAX_BAND_TRY):
-                prev = a.score
-                aw0 = opt.w << i
-                (a.score, qle, tle, gtle, gscore, max_off0) = extend(
-                    opt, qs, rs, aw0, opt.pen_clip5, s.len * opt.a)
-                if a.score == prev or max_off0 < (aw0 >> 1) + (aw0 >> 2):
-                    break
-            if gscore <= 0 or gscore <= a.score - opt.pen_clip5:  # local
-                a.qb = s.qbeg - qle
-                a.rb = s.rbeg - tle
-                a.truesc = a.score
+            rs_l = rseq[tmp - 1::-1].copy() if tmp else _EMPTY
+        else:
+            qs_l = rs_l = _EMPTY
+        if s.qbeg + s.len != l_query:  # right extension inputs
+            qe = s.qbeg + s.len
+            re = s.rbeg + s.len - rmax0
+            assert re >= 0
+            qs_r = query[qe:].copy()
+            rs_r = rseq[re:].copy()
+        else:
+            qs_r = rs_r = _EMPTY
+
+        (lscore, lqle, ltle, lgtle, lgscore, aw0,
+         rscore, rqle, rtle, rgtle, rgscore, aw1) = yield SeedExtTask(
+            qs_l, rs_l, qs_r, rs_r, s.len * opt.a)
+
+        a = AlnReg()
+        a.rid = c.rid
+        if s.qbeg:
+            a.score = lscore
+            if lgscore <= 0 or lgscore <= lscore - opt.pen_clip5:  # local
+                a.qb = s.qbeg - lqle
+                a.rb = s.rbeg - ltle
+                a.truesc = lscore
             else:  # to-end
                 a.qb = 0
-                a.rb = s.rbeg - gtle
-                a.truesc = gscore
+                a.rb = s.rbeg - lgtle
+                a.truesc = lgscore
         else:
             a.score = a.truesc = s.len * opt.a
             a.qb = 0
             a.rb = s.rbeg
 
-        if s.qbeg + s.len != l_query:  # right extension
+        if s.qbeg + s.len != l_query:
             sc0 = a.score
-            qe = s.qbeg + s.len
-            re = s.rbeg + s.len - rmax0
-            assert re >= 0
-            qs = query[qe:].copy()
-            rs = rseq[re:].copy()
-            for i in range(MAX_BAND_TRY):
-                prev = a.score
-                aw1 = opt.w << i
-                (a.score, qle, tle, gtle, gscore, max_off1) = extend(
-                    opt, qs, rs, aw1, opt.pen_clip3, sc0)
-                if a.score == prev or max_off1 < (aw1 >> 1) + (aw1 >> 2):
-                    break
-            if gscore <= 0 or gscore <= a.score - opt.pen_clip3:  # local
-                a.qe = qe + qle
-                a.re = rmax0 + re + tle
-                a.truesc += a.score - sc0
+            a.score = rscore
+            if rgscore <= 0 or rgscore <= rscore - opt.pen_clip3:  # local
+                a.qe = qe + rqle
+                a.re = rmax0 + re + rtle
+                a.truesc += rscore - sc0
             else:  # to-end
                 a.qe = l_query
-                a.re = rmax0 + re + gtle
-                a.truesc += gscore - sc0
+                a.re = rmax0 + re + rgtle
+                a.truesc += rgscore - sc0
         else:
             a.qe = l_query
             a.re = s.rbeg + s.len
@@ -219,6 +272,19 @@ def mem_chain2aln(opt: MemOpt, fm: FMIndex, l_query: int, query: np.ndarray,
         a.seedlen0 = s.len
         a.frac_rep = c.frac_rep
         regs.append(a)
+
+
+def mem_chain2aln(opt: MemOpt, fm: FMIndex, l_query: int, query: np.ndarray,
+                  c: Chain, regs: list[AlnReg], extend=default_extend) -> None:
+    """Banded extension of each seed in the chain (bwamem.c:641-795):
+    drives chain2aln_tasks synchronously with the host task runner."""
+    gen = chain2aln_tasks(opt, fm, l_query, query, c, regs)
+    try:
+        task = next(gen)
+        while True:
+            task = gen.send(run_task_host(opt, task, extend))
+    except StopIteration:
+        pass
 
 
 def mem_patch_reg(opt: MemOpt, fm: FMIndex | None, query: np.ndarray | None,

@@ -1,0 +1,224 @@
+"""Batched device aligner — the TPU compute path of the pipeline.
+
+Orchestrates the per-batch "forward pass" the reference runs as kflow
+stages (SeqsToChains -> ChainsToRegions, /root/reference/src/Pipeline.cpp
+:333-544, FPGA variants src/fpga/FPGAPipeline.cpp:367-802):
+
+  1. device SMEM seeding           (ops/smem_jax.py, batch of reads)
+  2. device SA lookup              (ops/fm_jax.sa_batch, flattened probes)
+  3. host chaining + filters       (ops/chain.py, exact bwa semantics)
+  4. wave extension: every read owns a chain2aln_tasks generator
+     (ops/region.py); each wave gathers at most one pending seed task per
+     read into a fixed-shape device batch (ops/chain2aln_jax.py), runs it,
+     and feeds results back. Sequencing *within* a read (bwa's
+     seed-containment skip logic) is preserved exactly; parallelism comes
+     from batching *across* reads — the same decomposition the FPGA path
+     uses (chunks of seed tasks, packReadData
+     /root/reference/src/fpga/FPGAPipeline.cpp:194-343).
+  5. host dedup/patch/primary marking + SAM (golden tail).
+
+Oversized tasks (long reads, huge reference windows) fall back to the host
+runner inline, mirroring packReadData's per-read CPU fallback
+(/root/reference/src/fpga/FPGAPipeline.cpp:204-221).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.fmindex import FMIndex
+from ..io.sam import Read, mem_reg2sam
+from ..models import golden
+from ..ops import chain as chainops
+from ..ops import fm as fmops
+from ..ops import region as regionops
+from ..ops import smem_jax
+from ..ops.chain2aln_jax import SeedExtendTaskBuffer
+from ..ops.fm_jax import DeviceFM, sa_batch
+from ..utils.opts import MEM_F_PRIMARY5, MemOpt
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class BatchAligner:
+    """Device-accelerated batch aligner with golden fallback.
+
+    `wave_cap` bounds tasks per device extension call; `smem_L` is the
+    padded read length for the seeding machine (reads longer than that are
+    seeded on host)."""
+
+    def __init__(self, opt: MemOpt, fm: FMIndex, smem_L: int = 160,
+                 wave_cap: int = 512, qmax: int = 160, tmax: int = 512,
+                 sa_chunk: int = 8192):
+        self.opt = opt
+        self.fm = fm
+        self.dfm = DeviceFM.from_host(fm)
+        self.smem_L = smem_L
+        self.sa_chunk = sa_chunk
+        self.buf = SeedExtendTaskBuffer(wave_cap, qmax, tmax)
+        # perf counters (the reference's per-stage VLOG spans, src/util.h:33)
+        self.stats = {"reads": 0, "seed_host_redo": 0, "sa_host_redo": 0,
+                      "ext_tasks_device": 0, "ext_tasks_host": 0, "waves": 0}
+
+    # ------------------------------------------------------------------
+    def _resolve_sa(self, all_intvs):
+        """Batch all (interval, occurrence) SA probes across reads; returns
+        per-read dicts {(x0, k): rbeg} (mem_chain's sa_lookup contract)."""
+        opt = self.opt
+        rows = []
+        owners = []  # (read_idx, x0, k)
+        for ridx, intvs in enumerate(all_intvs):
+            for p in intvs:
+                step = p.s // opt.max_occ if p.s > opt.max_occ else 1
+                k = 0
+                count = 0
+                while k < p.s and count < opt.max_occ:
+                    rows.append(p.x0 + k)
+                    owners.append((ridx, p.x0, k))
+                    k += step
+                    count += 1
+        luts = [dict() for _ in all_intvs]
+        if not rows:
+            return luts
+        rows = np.asarray(rows, dtype=np.int64)
+        for off in range(0, len(rows), self.sa_chunk):
+            chunk = rows[off:off + self.sa_chunk]
+            pad = np.zeros(_round_up(len(chunk), 256), dtype=np.int64)
+            pad[:len(chunk)] = chunk
+            vals, ovf = sa_batch(self.dfm, pad)
+            vals = np.asarray(vals[:len(chunk)])
+            ovf = np.asarray(ovf[:len(chunk)])
+            for j in np.nonzero(ovf)[0]:
+                vals[j] = fmops.bwt_sa(self.fm, int(chunk[j]))
+                self.stats["sa_host_redo"] += 1
+            for j, v in enumerate(vals):
+                ridx, x0, k = owners[off + j]
+                luts[ridx][(x0, k)] = int(v)
+        return luts
+
+    # ------------------------------------------------------------------
+    def align_regs(self, seqs: list[np.ndarray]) -> list:
+        """Seed+chain+extend+dedup for a batch of encoded reads; returns
+        per-read AlnReg lists (mem_align1_core over a batch)."""
+        opt, fm = self.opt, self.fm
+        self.stats["reads"] += len(seqs)
+        # 1. seeding (device machine; long reads fall back inside)
+        all_intvs = smem_jax.collect_intv_batch(opt, fm, self.dfm, seqs,
+                                                L=self.smem_L)
+        # 2. SA lookups
+        luts = self._resolve_sa(all_intvs)
+
+        # 3. chaining (host, exact)
+        all_chains = []
+        for seq, intvs, lut in zip(seqs, all_intvs, luts):
+            if len(seq) < opt.min_seed_len:
+                all_chains.append([])
+                continue
+            chains = chainops.mem_chain(
+                opt, fm, len(seq), intvs,
+                sa_lookup=lambda x0, k, _lut=lut: _lut[(x0, k)])
+            chains = chainops.mem_chain_flt(opt, chains)
+            chainops.mem_flt_chained_seeds(opt, fm, len(seq), seq, chains)
+            all_chains.append(chains)
+
+        # 4. wave extension
+        all_regs = [[] for _ in seqs]
+
+        def read_gen(ridx):
+            for c in all_chains[ridx]:
+                yield from regionops.chain2aln_tasks(
+                    opt, fm, len(seqs[ridx]), seqs[ridx], c, all_regs[ridx])
+
+        gens = {}
+        pending = {}
+        for ridx in range(len(seqs)):
+            g = read_gen(ridx)
+            t = next(g, None)
+            if t is not None:
+                gens[ridx] = g
+                pending[ridx] = t
+
+        def advance(ridx, result):
+            """Feed a result; pull the next device-sized task (running
+            oversized ones on host inline). Returns False when done."""
+            g = gens[ridx]
+            res = result
+            while True:
+                try:
+                    t = g.send(res)
+                except StopIteration:
+                    del gens[ridx]
+                    del pending[ridx]
+                    return False
+                if (len(t.q_left) <= self.buf.qmax
+                        and len(t.q_right) <= self.buf.qmax
+                        and len(t.t_left) <= self.buf.tmax
+                        and len(t.t_right) <= self.buf.tmax):
+                    pending[ridx] = t
+                    return True
+                self.stats["ext_tasks_host"] += 1
+                res = regionops.run_task_host(opt, t)
+
+        # bootstrap: oversized first tasks
+        for ridx in list(pending):
+            t = pending[ridx]
+            if (len(t.q_left) > self.buf.qmax
+                    or len(t.q_right) > self.buf.qmax
+                    or len(t.t_left) > self.buf.tmax
+                    or len(t.t_right) > self.buf.tmax):
+                self.stats["ext_tasks_host"] += 1
+                advance(ridx, regionops.run_task_host(opt, t))
+
+        while pending:
+            self.buf.reset()
+            slots = []
+            for ridx, t in pending.items():
+                i = self.buf.add(t.q_left, t.t_left, t.q_right, t.t_right,
+                                 t.h0)
+                if i < 0:
+                    break  # buffer full: next wave picks the rest up
+                slots.append(ridx)
+            out = self.buf.run(opt)
+            self.stats["waves"] += 1
+            self.stats["ext_tasks_device"] += len(slots)
+            for i, ridx in enumerate(slots):
+                advance(ridx, tuple(int(o[i]) for o in out))
+
+        # 5. dedup/patch + alt flags
+        final = []
+        for seq, regs in zip(seqs, all_regs):
+            regs = regionops.mem_sort_dedup_patch(
+                opt, fm, seq, regs, golden.make_patch_scorer(opt, fm, seq))
+            for p in regs:
+                if p.rid >= 0 and fm.bns.anns[p.rid].is_alt:
+                    p.is_alt = 1
+            final.append(regs)
+        return final
+
+    # ------------------------------------------------------------------
+    def align_se(self, reads: list[Read], n_processed: int = 0,
+                 rg_id: str = "") -> None:
+        """Batched single-end alignment: fills each read's .sam."""
+        opt, fm = self.opt, self.fm
+        all_regs = self.align_regs([s.seq for s in reads])
+        for i, (s, regs) in enumerate(zip(reads, all_regs)):
+            regionops.mem_mark_primary_se(opt, regs, n_processed + i)
+            if opt.flag & MEM_F_PRIMARY5:
+                regionops.mem_reorder_primary5(opt.T, regs)
+            s.sam = ""
+            mem_reg2sam(opt, fm, s, regs, 0, None, rg_id)
+
+    def align_pe(self, reads: list[Read], n_processed: int = 0,
+                 pes0=None, rg_id: str = "") -> None:
+        """Batched paired-end alignment over interleaved reads."""
+        from ..ops import pe as peops
+        opt, fm = self.opt, self.fm
+        all_regs = self.align_regs([s.seq for s in reads])
+        pes = pes0 if pes0 is not None else peops.mem_pestat(
+            opt, fm.bns.l_pac, all_regs)
+        for i in range(len(reads) >> 1):
+            j = i << 1
+            peops.mem_sam_pe(opt, fm, pes, (n_processed >> 1) + i,
+                             reads[j:j + 2], all_regs[j:j + 2], rg_id)
