@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""bwa_flow_tpu benchmark — one JSON line on stdout.
+
+Primary metric: banded Smith-Waterman seed-extension throughput (GCUPS,
+effective qlen x tlen cell updates/s) of the device kernel on realistic
+extension tasks — the FPGA-offloaded hot kernel of the reference
+(/root/reference/src/fpga/kernel/smithwaterman.cpp). The reference
+publishes no numbers (BASELINE.md), so `vs_baseline` is the speedup over
+the host golden ksw_extend2 oracle (single core, NumPy) measured in the
+same run. Also reported in the JSON: device SMEM seeding reads/s and
+end-to-end aligner reads/s.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+CACHE = ROOT / ".cache"
+CACHE.mkdir(exist_ok=True)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(CACHE / "jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from bwa_flow_tpu.index.build import build_index  # noqa: E402
+from bwa_flow_tpu.index.fmindex import FMIndex, ReferenceMeta, Annotation  # noqa: E402
+from bwa_flow_tpu.io.sam import Read  # noqa: E402
+from bwa_flow_tpu.ops import ksw  # noqa: E402
+from bwa_flow_tpu.ops.extend_jax import extend_batch  # noqa: E402
+from bwa_flow_tpu.ops.fm_jax import DeviceFM  # noqa: E402
+from bwa_flow_tpu.ops import smem_jax  # noqa: E402
+from bwa_flow_tpu.pipeline.batch import BatchAligner  # noqa: E402
+from bwa_flow_tpu.utils.opts import MemOpt  # noqa: E402
+
+GENOME_LEN = 2_000_000
+READ_LEN = 151
+B_EXT = 2048
+QMAX, TMAX = 160, 320
+B_SMEM = 1024
+SMEM_L = 160
+N_E2E = 512
+
+CODE = np.full(256, 4, np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    CODE[_c] = _i
+
+
+def get_index():
+    npz = CACHE / f"bench_index_{GENOME_LEN}.npz"
+    rng = np.random.default_rng(0xBE7C)
+    genome = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, GENOME_LEN)]
+    if npz.exists():
+        d = np.load(npz)
+        bns = ReferenceMeta(
+            l_pac=int(d["l_pac"]),
+            anns=[Annotation("chr1", "", 0, int(d["l_pac"]), 0)],
+            ambs=[], pac=d["pac"])
+        fm = FMIndex(seq_len=int(d["seq_len"]), primary=int(d["primary"]),
+                     L2=d["L2"], fm_blocks=d["fm_blocks"],
+                     sa_intv=int(d["sa_intv"]), sa=d["sa"], bns=bns)
+        return fm, genome
+    t0 = time.time()
+    fm = build_index([("chr1", "", genome.tobytes())])
+    print(f"# index build: {time.time()-t0:.1f}s", file=sys.stderr)
+    np.savez(npz, l_pac=fm.bns.l_pac, pac=fm.bns.pac, seq_len=fm.seq_len,
+             primary=fm.primary, L2=fm.L2, fm_blocks=fm.fm_blocks,
+             sa_intv=fm.sa_intv, sa=fm.sa)
+    return fm, genome
+
+
+def make_ext_tasks(rng, genome, n, mut=0.01):
+    """Seed-extension-shaped tasks: right extension of a 19-32bp seed."""
+    query = np.zeros((n, QMAX), np.int32)
+    target = np.zeros((n, TMAX), np.int32)
+    qlen = np.zeros(n, np.int32)
+    tlen = np.zeros(n, np.int32)
+    h0 = np.zeros(n, np.int32)
+    for b in range(n):
+        pos = int(rng.integers(0, len(genome) - READ_LEN - 200))
+        seed = int(rng.integers(19, 33))
+        ql = READ_LEN - seed
+        tl = min(TMAX, ql + 100)
+        r = CODE[genome[pos + seed:pos + seed + ql]].astype(np.int32)
+        m = rng.random(ql) < mut
+        r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
+        query[b, :ql] = r
+        target[b, :tl] = CODE[genome[pos + seed:pos + seed + tl]]
+        qlen[b], tlen[b], h0[b] = ql, tl, seed
+    return query, qlen, target, tlen, h0
+
+
+def bench_extend(rng, genome, opt):
+    query, qlen, target, tlen, h0 = make_ext_tasks(rng, genome, B_EXT)
+    mat = jnp.asarray(opt.mat[:5, :5], jnp.int32)
+    args = [jnp.asarray(a) for a in (query, qlen, target, tlen, h0)]
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    scal = [mat, i32(opt.o_del), i32(opt.e_del), i32(opt.o_ins),
+            i32(opt.e_ins), i32(opt.w), i32(5), i32(opt.zdrop)]
+    out = extend_batch(QMAX, TMAX, *args, *scal)  # compile
+    jax.block_until_ready(out)
+    t0 = time.time()
+    iters = 5
+    for _ in range(iters):
+        out = extend_batch(QMAX, TMAX, *args, *scal)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    cells = float((qlen.astype(np.int64) * tlen).sum())
+    gcups = cells / dt / 1e9
+
+    # host golden oracle on a subsample (single core)
+    n_cpu = 32
+    t0 = time.time()
+    for b in range(n_cpu):
+        ksw.ksw_extend2(int(qlen[b]), query[b], int(tlen[b]), target[b],
+                        opt.mat[:5, :5].astype(np.int64), opt.o_del,
+                        opt.e_del, opt.o_ins, opt.e_ins, opt.w, 5,
+                        opt.zdrop, int(h0[b]))
+    cpu_dt = (time.time() - t0) / n_cpu * B_EXT
+    cpu_gcups = cells / cpu_dt / 1e9
+    return gcups, cpu_gcups, dt
+
+
+def bench_smem(rng, genome, fm, dfm, opt):
+    reads = []
+    for _ in range(B_SMEM):
+        pos = int(rng.integers(0, len(genome) - READ_LEN))
+        r = CODE[genome[pos:pos + READ_LEN]].astype(np.int32)
+        m = rng.random(READ_LEN) < 0.01
+        r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
+        reads.append(r.astype(np.uint8))
+    smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=SMEM_L)  # compile
+    t0 = time.time()
+    smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=SMEM_L)
+    dt = time.time() - t0
+    return B_SMEM / dt
+
+
+def bench_e2e(rng, genome, fm, opt):
+    reads = []
+    for i in range(N_E2E):
+        pos = int(rng.integers(0, len(genome) - READ_LEN))
+        r = CODE[genome[pos:pos + READ_LEN]].astype(np.int32)
+        m = rng.random(READ_LEN) < 0.01
+        r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
+        reads.append(Read(name=f"r{i}", seq=r.astype(np.uint8),
+                          qual="I" * READ_LEN, id=i))
+    ba = BatchAligner(opt, fm, smem_L=SMEM_L, wave_cap=N_E2E,
+                      qmax=QMAX, tmax=TMAX + 192)
+    ba.align_se(reads[:8])  # compile
+    t0 = time.time()
+    ba.align_se(reads)
+    dt = time.time() - t0
+    return N_E2E / dt, ba.stats
+
+
+def main():
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    rng = np.random.default_rng(1)
+    opt = MemOpt()
+    fm, genome = get_index()
+    dfm = DeviceFM.from_host(fm)
+
+    gcups, cpu_gcups, ext_dt = bench_extend(rng, genome, opt)
+    print(f"# extend: {gcups:.2f} GCUPS device vs {cpu_gcups:.4f} host "
+          f"({ext_dt*1e3:.1f} ms / {B_EXT} tasks)", file=sys.stderr)
+    smem_rps = bench_smem(rng, genome, fm, dfm, opt)
+    print(f"# smem seeding: {smem_rps:.0f} reads/s", file=sys.stderr)
+    e2e_rps, stats = bench_e2e(rng, genome, fm, opt)
+    print(f"# e2e: {e2e_rps:.0f} reads/s  {stats}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "banded_sw_extend_throughput",
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / cpu_gcups, 2) if cpu_gcups else None,
+        "extra": {
+            "smem_seed_reads_per_s": round(smem_rps, 1),
+            "e2e_se_reads_per_s": round(e2e_rps, 1),
+            "host_oracle_gcups": round(cpu_gcups, 4),
+            "read_len": READ_LEN,
+            "batch": B_EXT,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
