@@ -1,0 +1,294 @@
+"""Command-line front-end: `bwa_flow_tpu index|mem` (main.cpp analog).
+
+Mirrors the reference's option pipeline — gflags mirrored into a synthetic
+argv re-parsed by bwa's getopt (/root/reference/src/preprocess.cpp:70-389)
+— as a single bwa-mem-compatible parser: every original single-letter
+`bwa mem` option plus the pipeline controls. `update_a` rescaling and `-x`
+read-type presets follow preprocess.cpp:55-68, 291-320.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import __version__
+from .index.build import index_fasta, parse_fasta
+from .index.io import load_index, save_index
+from .io.fastq import read_batches
+from .utils.opts import (MEM_F_ALL, MEM_F_KEEP_SUPP_MAPQ, MEM_F_NO_MULTI,
+                         MEM_F_NO_RESCUE, MEM_F_PE, MEM_F_PRIMARY5,
+                         MEM_F_REF_HDR, MEM_F_SMARTPE, MEM_F_SOFTCLIP,
+                         MemOpt)
+
+
+def _mem_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bwa_flow_tpu mem", add_help=False,
+        description="BWA-MEM alignment on TPU")
+    a = p.add_argument
+    a("-t", type=int, default=1, dest="n_threads")
+    a("-k", type=int, dest="min_seed_len")
+    a("-w", type=int, dest="band_width")
+    a("-d", type=int, dest="zdrop")
+    a("-r", type=float, dest="split_factor")
+    a("-y", type=int, dest="max_mem_intv")
+    a("-c", type=int, dest="max_occ")
+    a("-D", type=float, dest="drop_ratio")
+    a("-W", type=int, dest="min_chain_weight")
+    a("-m", type=int, dest="max_matesw")
+    a("-S", action="store_true", dest="skip_mate_rescue")
+    a("-P", action="store_true", dest="skip_pairing")
+    a("-A", type=int, dest="match_score")
+    a("-B", type=int, dest="mismatch_penalty")
+    a("-O", dest="gap_open")          # "INT[,INT]"
+    a("-E", dest="gap_extend")
+    a("-L", dest="clip_penalty")
+    a("-U", type=int, dest="pen_unpaired")
+    a("-x", dest="read_type")
+    a("-p", action="store_true", dest="smart_pairing")
+    a("-R", dest="rg_line")
+    a("-H", dest="header_insert")
+    a("-j", action="store_true", dest="ignore_alt")
+    a("-5", action="store_true", dest="primary5")
+    a("-q", action="store_true", dest="keep_supp_mapq")
+    a("-K", type=int, dest="chunk_size")
+    a("-v", type=int, default=3, dest="verbosity")
+    a("-T", type=int, dest="min_score")
+    a("-h", dest="max_xa_hits")       # "INT[,INT]"
+    a("-a", action="store_true", dest="output_all")
+    a("-C", action="store_true", dest="append_comment")
+    a("-V", action="store_true", dest="ref_header")
+    a("-Y", action="store_true", dest="softclip_supp")
+    a("-M", action="store_true", dest="mark_short_split")
+    a("-I", dest="insert_override")   # "FLOAT[,FLOAT[,INT[,INT]]]"
+    a("-o", "--output", dest="output", default="-")
+    a("--no-device", action="store_true", dest="no_device",
+      help="run the golden host path (CPU) instead of TPU kernels")
+    a("--batch-reads", type=int, default=0,
+      help="cap reads per device batch (0 = by chunk bp)")
+    a("--help", action="help")
+    a("ref")
+    a("fastq", nargs="+")
+    return p
+
+
+def build_opt(args) -> MemOpt:
+    """argparse namespace -> MemOpt with bwa's update_a / preset rules."""
+    opt = MemOpt()
+    set_ = set()
+
+    def take(name, attr, cast=None):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(opt, attr, cast(v) if cast else v)
+            set_.add(attr)
+
+    take("min_seed_len", "min_seed_len")
+    take("band_width", "w")
+    take("zdrop", "zdrop")
+    take("split_factor", "split_factor")
+    take("max_mem_intv", "max_mem_intv")
+    take("max_occ", "max_occ")
+    take("drop_ratio", "drop_ratio")
+    take("min_chain_weight", "min_chain_weight")
+    take("max_matesw", "max_matesw")
+    take("match_score", "a")
+    take("mismatch_penalty", "b")
+    take("pen_unpaired", "pen_unpaired")
+    take("min_score", "T")
+    take("chunk_size", "chunk_size")
+    if args.gap_open:
+        parts = [int(x) for x in args.gap_open.split(",")]
+        opt.o_del = opt.o_ins = parts[0]
+        set_.update(("o_del", "o_ins"))
+        if len(parts) > 1:
+            opt.o_ins = parts[1]
+    if args.gap_extend:
+        parts = [int(x) for x in args.gap_extend.split(",")]
+        opt.e_del = opt.e_ins = parts[0]
+        set_.update(("e_del", "e_ins"))
+        if len(parts) > 1:
+            opt.e_ins = parts[1]
+    if args.clip_penalty:
+        parts = [int(x) for x in args.clip_penalty.split(",")]
+        opt.pen_clip5 = opt.pen_clip3 = parts[0]
+        set_.update(("pen_clip5", "pen_clip3"))
+        if len(parts) > 1:
+            opt.pen_clip3 = parts[1]
+    if args.max_xa_hits:
+        parts = [int(x) for x in args.max_xa_hits.split(",")]
+        opt.max_XA_hits = opt.max_XA_hits_alt = parts[0]
+        if len(parts) > 1:
+            opt.max_XA_hits_alt = parts[1]
+    for flagattr, bit in (
+            ("skip_mate_rescue", MEM_F_NO_RESCUE),
+            ("skip_pairing", 0x4),
+            ("smart_pairing", MEM_F_SMARTPE),
+            ("primary5", MEM_F_PRIMARY5),
+            ("keep_supp_mapq", MEM_F_KEEP_SUPP_MAPQ),
+            ("output_all", MEM_F_ALL),
+            ("ref_header", MEM_F_REF_HDR),
+            ("softclip_supp", MEM_F_SOFTCLIP),
+            ("mark_short_split", MEM_F_NO_MULTI)):
+        if getattr(args, flagattr):
+            opt.flag |= bit
+
+    mode = args.read_type
+    if mode:  # preprocess.cpp:291-320
+        def d(attr, val):
+            if attr not in set_:
+                setattr(opt, attr, val)
+        if mode == "intractg":
+            d("o_del", 16), d("o_ins", 16), d("b", 9)
+            d("pen_clip5", 5), d("pen_clip3", 5)
+        elif mode in ("pacbio", "pbref", "ont2d"):
+            d("o_del", 1), d("e_del", 1), d("o_ins", 1), d("e_ins", 1)
+            d("b", 1)
+            if "split_factor" not in set_:
+                opt.split_factor = 10.0
+            if mode == "ont2d":
+                d("min_chain_weight", 20), d("min_seed_len", 14)
+            else:
+                d("min_chain_weight", 40), d("min_seed_len", 17)
+            d("pen_clip5", 0), d("pen_clip3", 0)
+        else:
+            raise SystemExit(f"[E] unknown read type '{mode}'")
+    elif "a" in set_:  # update_a (preprocess.cpp:55-68)
+        for attr in ("b", "T", "o_del", "e_del", "o_ins", "e_ins", "zdrop",
+                     "pen_clip5", "pen_clip3", "pen_unpaired"):
+            if attr not in set_:
+                setattr(opt, attr, getattr(opt, attr) * opt.a)
+    opt.refresh_mat()
+    return opt
+
+
+def parse_insert_override(spec: str):
+    """-I FLOAT[,FLOAT[,INT[,INT]]] (preprocess.cpp / fastmap.c semantics):
+    mean[,std[,max[,min]]] for the FR orientation."""
+    from .ops.pe import PeStat
+    parts = spec.split(",")
+    mean = float(parts[0])
+    std = float(parts[1]) if len(parts) > 1 else mean * 0.1
+    high = int(parts[2]) if len(parts) > 2 else int(mean + 4.0 * std + 0.499)
+    low = int(parts[3]) if len(parts) > 3 else max(
+        int(mean - 4.0 * std + 0.499), 1)
+    pes = [PeStat() for _ in range(4)]
+    pes[1].failed = 0
+    pes[1].avg, pes[1].std = mean, std
+    pes[1].high, pes[1].low = high, low
+    for i in (0, 2, 3):
+        pes[i].failed = 1
+    return pes
+
+
+def sam_header(fm, rg_line, extra_lines, argv) -> str:
+    """bwa_format_sam_hdr (preprocess.cpp:375-383 / bwa.c)."""
+    out = []
+    for ann in fm.bns.anns:
+        out.append(f"@SQ\tSN:{ann.name}\tLN:{ann.len}")
+    if rg_line:
+        out.append(rg_line.replace("\\t", "\t"))
+    if extra_lines:
+        out.append(extra_lines)
+    out.append("@PG\tID:bwa_flow_tpu\tPN:bwa_flow_tpu"
+               f"\tVN:{__version__}\tCL:{' '.join(argv)}")
+    return "\n".join(out) + "\n"
+
+
+def _rg_id(rg_line) -> str:
+    if not rg_line:
+        return ""
+    for field in rg_line.replace("\\t", "\t").split("\t"):
+        if field.startswith("ID:"):
+            return field[3:]
+    return ""
+
+
+def main_mem(argv: list[str]) -> int:
+    args = _mem_parser().parse_args(argv)
+    opt = build_opt(args)
+    t0 = time.time()
+    fm = load_index(args.ref)
+    print(f"[M::mem] loaded index {args.ref} in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    pes0 = parse_insert_override(args.insert_override) \
+        if args.insert_override else None
+    paired = len(args.fastq) > 1 or args.smart_pairing
+    if paired:
+        opt.flag |= MEM_F_PE
+    rg = _rg_id(args.rg_line)
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    hdr_extra = args.header_insert.replace("\\t", "\t") \
+        if args.header_insert else None
+    out.write(sam_header(fm, args.rg_line, hdr_extra,
+                         ["bwa_flow_tpu", "mem"] + argv))
+
+    if args.no_device:
+        from .models import golden
+        aligner_se = lambda reads, n: golden.align_se(opt, fm, reads, n, rg)
+        aligner_pe = lambda reads, n: golden.align_pe(opt, fm, reads, n,
+                                                      pes0, rg)
+    else:
+        from .pipeline.batch import BatchAligner
+        ba = BatchAligner(opt, fm)
+        aligner_se = lambda reads, n: ba.align_se(reads, n, rg)
+        aligner_pe = lambda reads, n: ba.align_pe(reads, n, pes0, rg)
+
+    n_processed = 0
+    fq2 = args.fastq[1] if len(args.fastq) > 1 else None
+    for batch in read_batches(args.fastq[0], fq2,
+                              chunk_bp=opt.chunk_size * opt.n_threads,
+                              interleaved=args.smart_pairing,
+                              start_id=0):
+        t1 = time.time()
+        if args.batch_reads:
+            chunks = [batch[i:i + args.batch_reads]
+                      for i in range(0, len(batch), args.batch_reads)]
+        else:
+            chunks = [batch]
+        for chunk in chunks:
+            if paired:
+                aligner_pe(chunk, n_processed)
+            else:
+                aligner_se(chunk, n_processed)
+            n_processed += len(chunk)
+            for r in chunk:
+                out.write(r.sam)
+        print(f"[M::mem] processed {n_processed} reads "
+              f"({len(batch)/(time.time()-t1):.0f} reads/s)",
+              file=sys.stderr)
+    if out is not sys.stdout:
+        out.close()
+    print(f"[M::mem] total {time.time()-t0:.1f}s", file=sys.stderr)
+    return 0
+
+
+def main_index(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="bwa_flow_tpu index")
+    p.add_argument("-p", dest="prefix", default=None)
+    p.add_argument("fasta")
+    args = p.parse_args(argv)
+    prefix = args.prefix or args.fasta
+    t0 = time.time()
+    fm = index_fasta(args.fasta)
+    save_index(prefix, fm)
+    print(f"[M::index] built + saved {prefix}.* in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: bwa_flow_tpu <index|mem> [options]", file=sys.stderr)
+        print(f"version: {__version__}", file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "mem":
+        return main_mem(rest)
+    if cmd == "index":
+        return main_index(rest)
+    print(f"[E] unknown command '{cmd}'", file=sys.stderr)
+    return 1

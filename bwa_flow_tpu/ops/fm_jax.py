@@ -21,6 +21,7 @@ batch state is int64; block indices (k>>6 < 2^31) and occ counts
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -185,6 +186,7 @@ def _inv_psi_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(k == dfm.primary, 0, lf)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
 def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
              ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Suffix-array values via batched LF-walk (bwa/bwt.c:86-96).

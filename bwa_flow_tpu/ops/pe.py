@@ -209,11 +209,18 @@ def mem_pair(opt: MemOpt, fm: FMIndex, pes: list[PeStat],
                     break
                 if dist < pes[dr].low:
                     continue
-                ns = (dist - pes[dr].avg) / pes[dr].std
-                erfc2 = max(2.0 * math.erfc(abs(ns) / math.sqrt(2.0)), 5e-324)
-                q = int((v[i][1] >> 32) + (v[k][1] >> 32)
-                        + 0.721 * math.log(erfc2) * opt.a + 0.499)
-                q = max(q, 0)
+                if pes[dr].std != 0.0:
+                    ns = (dist - pes[dr].avg) / pes[dr].std
+                    erfc2 = max(2.0 * math.erfc(abs(ns) / math.sqrt(2.0)),
+                                5e-324)
+                    q = int((v[i][1] >> 32) + (v[k][1] >> 32)
+                            + 0.721 * math.log(erfc2) * opt.a + 0.499)
+                    q = max(q, 0)
+                else:
+                    # C semantics for a degenerate (std==0) insert
+                    # distribution: ns is +-inf/nan, log(2*erfc(|ns|))
+                    # -> -inf/nan, and the int cast clamps to q = 0
+                    q = 0
                 pair_y = (k << 32) | i
                 pair_x = (q << 32) | (hash_64((pair_y ^ (rid_ << 8))
                                               & ((1 << 64) - 1)) & 0xFFFFFFFF)

@@ -366,7 +366,11 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
     """Host wrapper: pad reads to [B, L], run the device machine, unpack to
     Intv lists; reads that overflowed any budget are redone with the golden
     implementation (reference redo pattern, FPGAPipeline.cpp:706-714)."""
-    B = len(reads)
+    # pad the batch to a power-of-two bucket: one compiled program per
+    # (L, bucket) pair regardless of incoming read counts
+    B = 64
+    while B < len(reads):
+        B <<= 1
     q = np.full((B, L), 4, dtype=np.int32)
     qlen = np.zeros(B, dtype=np.int32)
     for b, r in enumerate(reads):

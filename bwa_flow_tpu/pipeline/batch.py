@@ -85,7 +85,8 @@ class BatchAligner:
         rows = np.asarray(rows, dtype=np.int64)
         for off in range(0, len(rows), self.sa_chunk):
             chunk = rows[off:off + self.sa_chunk]
-            pad = np.zeros(_round_up(len(chunk), 256), dtype=np.int64)
+            # fixed chunk shape: one compiled program for every batch
+            pad = np.zeros(self.sa_chunk, dtype=np.int64)
             pad[:len(chunk)] = chunk
             vals, ovf = sa_batch(self.dfm, pad)
             vals = np.asarray(vals[:len(chunk)])
