@@ -68,6 +68,18 @@ def _mem_parser() -> argparse.ArgumentParser:
       help="run the golden host path (CPU) instead of TPU kernels")
     a("--batch-reads", type=int, default=0,
       help="cap reads per device batch (0 = by chunk bp)")
+    # pipeline controls (reference: --disable_markdup, --sort, --temp_dir,
+    # --num_buckets, --filter, --remove_duplicates; src/config.cpp)
+    a("--disable-markdup", action="store_true", dest="disable_markdup",
+      help="skip streaming duplicate marking (on by default, as in the "
+           "reference pipeline)")
+    a("--sort", action="store_true", dest="sort",
+      help="bucket-sort and write a coordinate-sorted BAM to -o")
+    a("--temp-dir", dest="temp_dir", default=None)
+    a("--num-buckets", type=int, dest="num_buckets", default=64)
+    a("--filter", type=int, dest="filter_mask", default=0,
+      help="drop alignments matching this FLAG mask at output")
+    a("--remove-duplicates", action="store_true", dest="remove_dups")
     a("--help", action="help")
     a("ref")
     a("fastq", nargs="+")
@@ -219,11 +231,30 @@ def main_mem(argv: list[str]) -> int:
     if paired:
         opt.flag |= MEM_F_PE
     rg = _rg_id(args.rg_line)
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
     hdr_extra = args.header_insert.replace("\\t", "\t") \
         if args.header_insert else None
-    out.write(sam_header(fm, args.rg_line, hdr_extra,
-                         ["bwa_flow_tpu", "mem"] + argv))
+    header = sam_header(fm, args.rg_line, hdr_extra,
+                        ["bwa_flow_tpu", "mem"] + argv)
+
+    markdup = None
+    if not args.disable_markdup:
+        from .dedup.markdup import MarkDupStage
+        markdup = MarkDupStage(fm, ignore_unmated=True)
+
+    bucket = None
+    out = None
+    if args.sort:
+        from .pipeline.sort import BucketSort, merge_sorted_bam
+        import tempfile
+        temp_dir = args.temp_dir or tempfile.mkdtemp(prefix="bwaflow_")
+        bucket = BucketSort(fm.bns.anns, temp_dir, args.num_buckets,
+                            drop_dups=args.remove_dups)
+        if args.output == "-":
+            raise SystemExit("[E] --sort requires -o FILE.bam")
+    else:
+        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        out.write(header)
+    fmask = args.filter_mask
 
     if args.no_device:
         from .models import golden
@@ -254,13 +285,32 @@ def main_mem(argv: list[str]) -> int:
             else:
                 aligner_se(chunk, n_processed)
             n_processed += len(chunk)
+            if markdup is not None:
+                markdup.process(chunk)
             for r in chunk:
-                out.write(r.sam)
+                sam = r.sam
+                if fmask:
+                    sam = "".join(
+                        l + "\n" for l in sam.splitlines()
+                        if not int(l.split("\t", 2)[1]) & fmask)
+                if bucket is not None:
+                    bucket.write_sam_text(sam)
+                else:
+                    out.write(sam)
         print(f"[M::mem] processed {n_processed} reads "
               f"({len(batch)/(time.time()-t1):.0f} reads/s)",
               file=sys.stderr)
-    if out is not sys.stdout:
+    if bucket is not None:
+        from .pipeline.sort import merge_sorted_bam
+        paths = bucket.close()
+        merge_sorted_bam(paths, args.output, fm.bns.anns, header)
+        print(f"[M::mem] sorted BAM written to {args.output}",
+              file=sys.stderr)
+    elif out is not sys.stdout:
         out.close()
+    if markdup is not None:
+        print(f"[M::mem] markdup: {markdup.state.dup_count} duplicate "
+              f"blocks", file=sys.stderr)
     print(f"[M::mem] total {time.time()-t0:.1f}s", file=sys.stderr)
     return 0
 
