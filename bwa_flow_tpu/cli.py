@@ -256,50 +256,57 @@ def main_mem(argv: list[str]) -> int:
         out.write(header)
     fmask = args.filter_mask
 
+    stats = {"n": 0, "t": time.time()}
+
+    def emit(chunk):
+        if markdup is not None:
+            markdup.process(chunk)
+        for r in chunk:
+            sam = r.sam
+            if fmask:
+                sam = "".join(
+                    l + "\n" for l in sam.splitlines()
+                    if not int(l.split("\t", 2)[1]) & fmask)
+            if bucket is not None:
+                bucket.write_sam_text(sam)
+            else:
+                out.write(sam)
+        stats["n"] += len(chunk)
+        dt = time.time() - stats["t"]
+        print(f"[M::mem] processed {stats['n']} reads "
+              f"({stats['n']/dt:.0f} reads/s)", file=sys.stderr)
+
+    fq2 = args.fastq[1] if len(args.fastq) > 1 else None
+
+    def batches():
+        for batch in read_batches(args.fastq[0], fq2,
+                                  chunk_bp=opt.chunk_size * opt.n_threads,
+                                  interleaved=args.smart_pairing):
+            if args.batch_reads:
+                for i in range(0, len(batch), args.batch_reads):
+                    yield batch[i:i + args.batch_reads]
+            else:
+                yield batch
+
     if args.no_device:
         from .models import golden
-        aligner_se = lambda reads, n: golden.align_se(opt, fm, reads, n, rg)
-        aligner_pe = lambda reads, n: golden.align_pe(opt, fm, reads, n,
-                                                      pes0, rg)
-    else:
-        from .pipeline.batch import BatchAligner
-        ba = BatchAligner(opt, fm)
-        aligner_se = lambda reads, n: ba.align_se(reads, n, rg)
-        aligner_pe = lambda reads, n: ba.align_pe(reads, n, pes0, rg)
-
-    n_processed = 0
-    fq2 = args.fastq[1] if len(args.fastq) > 1 else None
-    for batch in read_batches(args.fastq[0], fq2,
-                              chunk_bp=opt.chunk_size * opt.n_threads,
-                              interleaved=args.smart_pairing,
-                              start_id=0):
-        t1 = time.time()
-        if args.batch_reads:
-            chunks = [batch[i:i + args.batch_reads]
-                      for i in range(0, len(batch), args.batch_reads)]
-        else:
-            chunks = [batch]
-        for chunk in chunks:
+        n_processed = 0
+        for chunk in batches():
             if paired:
-                aligner_pe(chunk, n_processed)
+                golden.align_pe(opt, fm, chunk, n_processed, pes0, rg)
             else:
-                aligner_se(chunk, n_processed)
+                golden.align_se(opt, fm, chunk, n_processed, rg)
             n_processed += len(chunk)
-            if markdup is not None:
-                markdup.process(chunk)
-            for r in chunk:
-                sam = r.sam
-                if fmask:
-                    sam = "".join(
-                        l + "\n" for l in sam.splitlines()
-                        if not int(l.split("\t", 2)[1]) & fmask)
-                if bucket is not None:
-                    bucket.write_sam_text(sam)
-                else:
-                    out.write(sam)
-        print(f"[M::mem] processed {n_processed} reads "
-              f"({len(batch)/(time.time()-t1):.0f} reads/s)",
-              file=sys.stderr)
+            emit(chunk)
+    else:
+        from .pipeline.dataflow import AlignPipeline
+        pipe = AlignPipeline(opt, fm, paired=paired,
+                             n_workers=max(0, args.n_threads - 1),
+                             rg_id=rg, pes0=pes0)
+        try:
+            pipe.run(batches(), emit)
+        finally:
+            pipe.close()
     if bucket is not None:
         from .pipeline.sort import merge_sorted_bam
         paths = bucket.close()

@@ -94,14 +94,20 @@ def _take_row(arr, idx):
 
 
 def _scatter_row(arr, idx, val, do):
-    """arr[b, idx[b], :] = val[b] where do[b] (dropped rows use idx=N)."""
-    safe = jnp.where(do, idx, arr.shape[1]).astype(I32)
-    return arr.at[jnp.arange(arr.shape[0]), safe].set(val, mode="drop")
+    """arr[b, idx[b], :] = val[b] where do[b] — as a masked one-hot select.
+
+    TPU lowers variadic 2-D scatters to per-row sequential updates (B
+    dynamic-update-slices per call), which dominated the machine's
+    iteration time; the dense select is pure VPU work."""
+    sel = (jnp.arange(arr.shape[1], dtype=I32)[None, :] == idx[:, None]) \
+        & do[:, None]
+    return jnp.where(sel[..., None], val[:, None, :], arr)
 
 
 def _scatter1(arr, idx, val, do):
-    safe = jnp.where(do, idx, arr.shape[1]).astype(I32)
-    return arr.at[jnp.arange(arr.shape[0]), safe].set(val, mode="drop")
+    sel = (jnp.arange(arr.shape[1], dtype=I32)[None, :] == idx[:, None]) \
+        & do[:, None]
+    return jnp.where(sel, val[:, None], arr)
 
 
 def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,

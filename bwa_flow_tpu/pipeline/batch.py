@@ -100,18 +100,15 @@ class BatchAligner:
         return luts
 
     # ------------------------------------------------------------------
-    def align_regs(self, seqs: list[np.ndarray]) -> list:
-        """Seed+chain+extend+dedup for a batch of encoded reads; returns
-        per-read AlnReg lists (mem_align1_core over a batch)."""
-        opt, fm = self.opt, self.fm
+    def collect_seeds(self, seqs: list[np.ndarray]):
+        """Stage 1: device SMEM seeding (long reads fall back inside)."""
         self.stats["reads"] += len(seqs)
-        # 1. seeding (device machine; long reads fall back inside)
-        all_intvs = smem_jax.collect_intv_batch(opt, fm, self.dfm, seqs,
-                                                L=self.smem_L)
-        # 2. SA lookups
-        luts = self._resolve_sa(all_intvs)
+        return smem_jax.collect_intv_batch(self.opt, self.fm, self.dfm,
+                                           seqs, L=self.smem_L)
 
-        # 3. chaining (host, exact)
+    def chain_reads(self, seqs, all_intvs, luts):
+        """Stage 3: host chaining (exact bwa semantics)."""
+        opt, fm = self.opt, self.fm
         all_chains = []
         for seq, intvs, lut in zip(seqs, all_intvs, luts):
             if len(seq) < opt.min_seed_len:
@@ -123,8 +120,30 @@ class BatchAligner:
             chains = chainops.mem_chain_flt(opt, chains)
             chainops.mem_flt_chained_seeds(opt, fm, len(seq), seq, chains)
             all_chains.append(chains)
+        return all_chains
 
-        # 4. wave extension
+    def align_regs(self, seqs: list[np.ndarray]) -> list:
+        """Seed+chain+extend+dedup for a batch of encoded reads; returns
+        per-read AlnReg lists (mem_align1_core over a batch)."""
+        opt, fm = self.opt, self.fm
+        all_intvs = self.collect_seeds(seqs)
+        luts = self._resolve_sa(all_intvs)
+        all_chains = self.chain_reads(seqs, all_intvs, luts)
+        all_regs = self.extend_waves(seqs, all_chains)
+        # dedup/patch + alt flags
+        final = []
+        for seq, regs in zip(seqs, all_regs):
+            regs = regionops.mem_sort_dedup_patch(
+                opt, fm, seq, regs, golden.make_patch_scorer(opt, fm, seq))
+            for p in regs:
+                if p.rid >= 0 and fm.bns.anns[p.rid].is_alt:
+                    p.is_alt = 1
+            final.append(regs)
+        return final
+
+    def extend_waves(self, seqs: list[np.ndarray], all_chains) -> list:
+        """Stage 4: cross-read wave extension on device (no dedup)."""
+        opt, fm = self.opt, self.fm
         all_regs = [[] for _ in seqs]
 
         def read_gen(ridx):
@@ -187,16 +206,7 @@ class BatchAligner:
             for i, ridx in enumerate(slots):
                 advance(ridx, tuple(int(o[i]) for o in out))
 
-        # 5. dedup/patch + alt flags
-        final = []
-        for seq, regs in zip(seqs, all_regs):
-            regs = regionops.mem_sort_dedup_patch(
-                opt, fm, seq, regs, golden.make_patch_scorer(opt, fm, seq))
-            for p in regs:
-                if p.rid >= 0 and fm.bns.anns[p.rid].is_alt:
-                    p.is_alt = 1
-            final.append(regs)
-        return final
+        return all_regs
 
     # ------------------------------------------------------------------
     def align_se(self, reads: list[Read], n_processed: int = 0,

@@ -1,0 +1,226 @@
+"""Host dataflow runtime — the kflow/MegaPipe analog.
+
+The reference decomposes the aligner into pipeline stages connected by
+bounded queues, with a dynamic worker pool executing any ready stage
+(kflow, /root/reference/kflow/src/MegaPipe.cpp:123-162) and accelerator
+stages interleaved with CPU stages. Here:
+
+  - the *device* stages (SMEM seeding machine, SA lookups, wave extension)
+    run on the main process, which owns the JAX/TPU context — the analog
+    of the FPGA PE checkout (/root/reference/src/fpga/BWAOCLEnv.h:232-269);
+  - the *host* stages (seed chaining, region dedup/pairing/SAM emission)
+    are GIL-bound Python, so they run in a fork-based process pool — the
+    dworker-pool analog; the FM-index transfers once by fork CoW;
+  - batches flow through a two-deep software pipeline: while batch N's
+    host tail is in the pool, batch N+1's device work runs — the SWTask
+    ping-pong (/root/reference/src/fpga/FPGAPipeline.cpp:443-489) lifted
+    to batch granularity;
+  - ordered emission + streaming stages (markdup, bucket sort) consume
+    finished batches on the main process (SamsReorder analog).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+from typing import Callable, Iterable
+
+import numpy as np
+
+from ..io.sam import Read, mem_reg2sam
+from ..models import golden
+from ..ops import chain as chainops
+from ..ops import region as regionops
+from ..utils.opts import MEM_F_PRIMARY5, MemOpt
+from .batch import BatchAligner
+
+_G: dict = {}
+
+
+def _init_worker(opt, fm):
+    _G["opt"] = opt
+    _G["fm"] = fm
+
+
+def _chain_worker(arg):
+    """Stage: seeds -> filtered chains for a slice of reads."""
+    opt, fm = _G["opt"], _G["fm"]
+    out = []
+    for seq, intvs, lut in arg:
+        if len(seq) < opt.min_seed_len:
+            out.append([])
+            continue
+        chains = chainops.mem_chain(opt, fm, len(seq), intvs,
+                                    sa_lookup=lambda x0, k, _l=lut: _l[(x0, k)])
+        chains = chainops.mem_chain_flt(opt, chains)
+        chainops.mem_flt_chained_seeds(opt, fm, len(seq), seq, chains)
+        out.append(chains)
+    return out
+
+
+def _se_tail_worker(arg):
+    """Stage: regions -> dedup/primary/SAM for a slice of reads."""
+    opt, fm = _G["opt"], _G["fm"]
+    out = []
+    for seq, name, qual, comment, regs, rid_ in arg:
+        regs = regionops.mem_sort_dedup_patch(
+            opt, fm, seq, regs, golden.make_patch_scorer(opt, fm, seq))
+        for p in regs:
+            if p.rid >= 0 and fm.bns.anns[p.rid].is_alt:
+                p.is_alt = 1
+        s = Read(name=name, seq=seq, qual=qual, comment=comment, id=rid_)
+        regionops.mem_mark_primary_se(opt, regs, rid_)
+        if opt.flag & MEM_F_PRIMARY5:
+            regionops.mem_reorder_primary5(opt.T, regs)
+        mem_reg2sam(opt, fm, s, regs, 0, None, _G.get("rg_id", ""))
+        out.append(s.sam)
+    return out
+
+
+def _dedup_worker(arg):
+    """Stage: raw regions -> dedup/patched regions for a slice of reads."""
+    opt, fm = _G["opt"], _G["fm"]
+    out = []
+    for seq, regs in arg:
+        regs = regionops.mem_sort_dedup_patch(
+            opt, fm, seq, regs, golden.make_patch_scorer(opt, fm, seq))
+        for p in regs:
+            if p.rid >= 0 and fm.bns.anns[p.rid].is_alt:
+                p.is_alt = 1
+        out.append(regs)
+    return out
+
+
+def _pe_pair_worker(arg):
+    """Stage: dedup'd regions -> pairing/rescue/SAM for read-pair slices.
+    Regions must already be dedup/patched (pestat ran on them)."""
+    from ..ops import pe as peops
+    opt, fm = _G["opt"], _G["fm"]
+    pes, pairs = arg
+    out = []
+    for (r1, r2, regs1, regs2, pair_id) in pairs:
+        s1 = Read(name=r1[1], seq=r1[0], qual=r1[2], comment=r1[3],
+                  id=2 * pair_id)
+        s2 = Read(name=r2[1], seq=r2[0], qual=r2[2], comment=r2[3],
+                  id=2 * pair_id + 1)
+        peops.mem_sam_pe(opt, fm, pes, pair_id, [s1, s2], [regs1, regs2],
+                         _G.get("rg_id", ""))
+        out.append((s1.sam, s2.sam))
+    return out
+
+
+def _slices(items, n_slices):
+    k = max(1, -(-len(items) // n_slices))
+    return [items[i:i + k] for i in range(0, len(items), k)]
+
+
+class AlignPipeline:
+    """Device + worker-pool aligner over a batch stream."""
+
+    def __init__(self, opt: MemOpt, fm, paired: bool, n_workers: int = 0,
+                 rg_id: str = "", pes0=None, aligner_kw: dict | None = None):
+        self.opt = opt
+        self.fm = fm
+        self.paired = paired
+        self.pes0 = pes0
+        self.rg_id = rg_id
+        self.ba = BatchAligner(opt, fm, **(aligner_kw or {}))
+        self.n_workers = n_workers
+        self.pool = None
+        if n_workers > 0:
+            ctx = mp.get_context("fork")
+            self.pool = ctx.Pool(n_workers, initializer=_init_worker,
+                                 initargs=(opt, fm))
+            _G["rg_id"] = rg_id
+        _init_worker(opt, fm)
+        _G["rg_id"] = rg_id
+
+    def close(self):
+        if self.pool is not None:
+            self.pool.close()
+            self.pool.join()
+
+    # -- stage drivers -------------------------------------------------
+    def _chains(self, seqs, intvs, luts):
+        work = list(zip(seqs, intvs, luts))
+        if self.pool is None:
+            return _chain_worker(work)
+        parts = self.pool.map(_chain_worker, _slices(work, self.n_workers))
+        return [c for p in parts for c in p]
+
+    def _run_parts(self, fn, work):
+        """Map fn over slices of work (pool or inline), flattened."""
+        if self.pool is None:
+            return fn(work)
+        parts = self.pool.map(fn, _slices(work, self.n_workers))
+        return [x for p in parts for x in p]
+
+    def _tail_async(self, batch, all_regs, n_processed):
+        """Run the post-extension tail in a background thread (its phases
+        use the worker pool); returns join() -> the finished batch."""
+        import threading
+
+        def work_pe():
+            from ..ops import pe as peops
+            # phase 1: dedup/patch (pool) — pestat must see dedup'd regs
+            regs2 = self._run_parts(
+                _dedup_worker,
+                [(r.seq, all_regs[i]) for i, r in enumerate(batch)])
+            pes = self.pes0 if self.pes0 is not None else peops.mem_pestat(
+                self.opt, self.fm.bns.l_pac, regs2)
+            # phase 2: pairing + SAM (pool)
+            pairs = []
+            for i in range(len(batch) >> 1):
+                j = i << 1
+                r1, r2 = batch[j], batch[j + 1]
+                pairs.append(((r1.seq, r1.name, r1.qual, r1.comment),
+                              (r2.seq, r2.name, r2.qual, r2.comment),
+                              regs2[j], regs2[j + 1],
+                              (n_processed >> 1) + i))
+            if self.pool is None:
+                sams = _pe_pair_worker((pes, pairs))
+            else:
+                hs = [self.pool.apply_async(_pe_pair_worker, ((pes, p),))
+                      for p in _slices(pairs, self.n_workers)]
+                sams = [s for h in hs for s in h.get()]
+            for i, (s1, s2) in enumerate(sams):
+                batch[2 * i].sam = s1
+                batch[2 * i + 1].sam = s2
+
+        def work_se():
+            work = [(r.seq, r.name, r.qual, r.comment, all_regs[i],
+                     n_processed + i) for i, r in enumerate(batch)]
+            sams = self._run_parts(_se_tail_worker, work)
+            for r, s in zip(batch, sams):
+                r.sam = s
+
+        t = threading.Thread(target=work_pe if self.paired else work_se)
+        t.start()
+
+        def join():
+            t.join()
+            return batch
+        return join
+
+    # -- the pipeline --------------------------------------------------
+    def run(self, batches: Iterable[list[Read]],
+            emit: Callable[[list[Read]], None]) -> int:
+        """Two-deep software pipeline over batches; calls emit(batch) in
+        order with .sam filled. Returns reads processed."""
+        n_processed = 0
+        pending = None  # (join, ) of the previous batch's tail
+        for batch in batches:
+            seqs = [r.seq for r in batch]
+            # device front (SMEM + SA) for THIS batch while the previous
+            # batch's tail drains in the pool
+            intvs = self.ba.collect_seeds(seqs)
+            luts = self.ba._resolve_sa(intvs)
+            chains = self._chains(seqs, intvs, luts)
+            regs = self.ba.extend_waves(seqs, chains)
+            if pending is not None:
+                emit(pending())
+            pending = self._tail_async(batch, regs, n_processed)
+            n_processed += len(batch)
+        if pending is not None:
+            emit(pending())
+        return n_processed
