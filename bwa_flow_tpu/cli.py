@@ -80,6 +80,11 @@ def _mem_parser() -> argparse.ArgumentParser:
     a("--filter", type=int, dest="filter_mask", default=0,
       help="drop alignments matching this FLAG mask at output")
     a("--remove-duplicates", action="store_true", dest="remove_dups")
+    # multi-host (bwa-mpi analog): run one process per host with
+    # --nprocs/--proc-id (or BWA_TPU_NPROCS/BWA_TPU_PROC_ID env)
+    a("--nprocs", type=int, default=None)
+    a("--proc-id", type=int, dest="proc_id", default=None)
+    a("--coordinator", dest="coordinator", default=None)
     a("--help", action="help")
     a("ref")
     a("fastq", nargs="+")
@@ -221,6 +226,15 @@ def _rg_id(rg_line) -> str:
 def main_mem(argv: list[str]) -> int:
     args = _mem_parser().parse_args(argv)
     opt = build_opt(args)
+    from .parallel import distributed as dist
+    pid, nprocs = dist.init_distributed(args.coordinator, args.nprocs,
+                                        args.proc_id)
+    if nprocs > 1 and args.output != "-":
+        # per-rank output (the reference's <host>-<pid> dirs,
+        # mpi_main.cpp:294-318)
+        root, dot, ext = args.output.rpartition(".")
+        args.output = f"{root or ext}.part{pid:03d}" + \
+            (dot + ext if root else "")
     t0 = time.time()
     fm = load_index(args.ref)
     print(f"[M::mem] loaded index {args.ref} in {time.time()-t0:.1f}s",
@@ -279,9 +293,12 @@ def main_mem(argv: list[str]) -> int:
     fq2 = args.fastq[1] if len(args.fastq) > 1 else None
 
     def batches():
-        for batch in read_batches(args.fastq[0], fq2,
-                                  chunk_bp=opt.chunk_size * opt.n_threads,
-                                  interleaved=args.smart_pairing):
+        it = read_batches(args.fastq[0], fq2,
+                          chunk_bp=opt.chunk_size * opt.n_threads,
+                          interleaved=args.smart_pairing)
+        if nprocs > 1:
+            it = dist.shard_batches(it, pid, nprocs)
+        for batch in it:
             if args.batch_reads:
                 for i in range(0, len(batch), args.batch_reads):
                     yield batch[i:i + args.batch_reads]
@@ -318,6 +335,8 @@ def main_mem(argv: list[str]) -> int:
     if markdup is not None:
         print(f"[M::mem] markdup: {markdup.state.dup_count} duplicate "
               f"blocks", file=sys.stderr)
+    if nprocs > 1:
+        dist.barrier()  # final Barrier (mpi_main.cpp:319-325)
     print(f"[M::mem] total {time.time()-t0:.1f}s", file=sys.stderr)
     return 0
 

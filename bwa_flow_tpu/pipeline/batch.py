@@ -51,16 +51,28 @@ class BatchAligner:
 
     def __init__(self, opt: MemOpt, fm: FMIndex, smem_L: int = 160,
                  wave_cap: int = 512, qmax: int = 160, tmax: int = 512,
-                 sa_chunk: int = 8192):
+                 sa_chunk: int = 8192, validate_every: int = 0,
+                 validate_sample: int = 2):
         self.opt = opt
         self.fm = fm
         self.dfm = DeviceFM.from_host(fm)
         self.smem_L = smem_L
         self.sa_chunk = sa_chunk
         self.buf = SeedExtendTaskBuffer(wave_cap, qmax, tmax)
+        # failure detection / graceful degradation (the reference's FPGA
+        # result-validation + setUseAccx(false) pattern,
+        # /root/reference/src/fpga/FPGAPipeline.cpp:29-130,526-551):
+        # validate_every > 0 cross-checks a sample of reads against the
+        # golden model every N batches; any mismatch or device exception
+        # permanently falls back to the host path.
+        self.validate_every = validate_every
+        self.validate_sample = validate_sample
+        self.device_ok = True
+        self._batch_no = 0
         # perf counters (the reference's per-stage VLOG spans, src/util.h:33)
         self.stats = {"reads": 0, "seed_host_redo": 0, "sa_host_redo": 0,
-                      "ext_tasks_device": 0, "ext_tasks_host": 0, "waves": 0}
+                      "ext_tasks_device": 0, "ext_tasks_host": 0,
+                      "waves": 0, "validations": 0, "device_errors": 0}
 
     # ------------------------------------------------------------------
     def _resolve_sa(self, all_intvs):
@@ -124,12 +136,26 @@ class BatchAligner:
 
     def align_regs(self, seqs: list[np.ndarray]) -> list:
         """Seed+chain+extend+dedup for a batch of encoded reads; returns
-        per-read AlnReg lists (mem_align1_core over a batch)."""
+        per-read AlnReg lists (mem_align1_core over a batch). Device
+        failures and validation mismatches degrade to the host path
+        (finishUpOnCPU + setUseAccx(false) analog)."""
         opt, fm = self.opt, self.fm
-        all_intvs = self.collect_seeds(seqs)
-        luts = self._resolve_sa(all_intvs)
-        all_chains = self.chain_reads(seqs, all_intvs, luts)
-        all_regs = self.extend_waves(seqs, all_chains)
+        if not self.device_ok:
+            self.stats["reads"] += len(seqs)
+            return [golden.mem_align1_core(opt, fm, seq) for seq in seqs]
+        self._batch_no += 1
+        try:
+            all_intvs = self.collect_seeds(seqs)
+            luts = self._resolve_sa(all_intvs)
+            all_chains = self.chain_reads(seqs, all_intvs, luts)
+            all_regs = self.extend_waves(seqs, all_chains)
+        except Exception as e:  # device/tunnel failure: degrade for good
+            import sys
+            print(f"[W::align] device path failed ({e!r}); falling back "
+                  "to host for the rest of the run", file=sys.stderr)
+            self.stats["device_errors"] += 1
+            self.device_ok = False
+            return [golden.mem_align1_core(opt, fm, seq) for seq in seqs]
         # dedup/patch + alt flags
         final = []
         for seq, regs in zip(seqs, all_regs):
@@ -139,7 +165,37 @@ class BatchAligner:
                 if p.rid >= 0 and fm.bns.anns[p.rid].is_alt:
                     p.is_alt = 1
             final.append(regs)
+        if (self.validate_every
+                and self._batch_no % self.validate_every == 0):
+            bad = self._validate(seqs, final)
+            if bad:
+                import sys
+                print("[W::align] device/golden mismatch on validation "
+                      "sample; falling back to host for the rest of the "
+                      "run", file=sys.stderr)
+                self.device_ok = False
+                return [golden.mem_align1_core(opt, fm, seq)
+                        for seq in seqs]
         return final
+
+    def _validate(self, seqs, got_regs) -> bool:
+        """Cross-check a deterministic sample of reads against the golden
+        model (the FPGA wrong-result detector analog). True on mismatch."""
+        self.stats["validations"] += 1
+        n = len(seqs)
+        step = max(1, n // max(1, self.validate_sample))
+        for i in range(0, n, step):
+            want = golden.mem_align1_core(self.opt, self.fm, seqs[i])
+            got = got_regs[i]
+            if len(want) != len(got):
+                return True
+            for a, b in zip(got, want):
+                if (a.rb, a.re, a.qb, a.qe, a.rid, a.score, a.truesc,
+                        a.w, a.seedcov) != (b.rb, b.re, b.qb, b.qe, b.rid,
+                                            b.score, b.truesc, b.w,
+                                            b.seedcov):
+                    return True
+        return False
 
     def extend_waves(self, seqs: list[np.ndarray], all_chains) -> list:
         """Stage 4: cross-read wave extension on device (no dedup)."""

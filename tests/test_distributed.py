@@ -1,0 +1,72 @@
+"""Multi-host layer: 2-process jax.distributed run on localhost CPU,
+covering batch sharding, signature all-gather, stat reduction, barrier."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from bwa_flow_tpu.parallel.distributed import shard_batches
+
+WORKER = textwrap.dedent("""
+    import os, sys, json
+    import numpy as np
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, "/root/repo")
+    from bwa_flow_tpu.parallel import distributed as dist
+
+    pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+    dist.init_distributed(f"localhost:{port}", n, pid)
+    assert jax.process_count() == n
+
+    # signature union
+    from bwa_flow_tpu.dedup.markdup import MarkDupState
+    class A:
+        def __init__(s, name, l): s.name, s.len = name, l
+    st = MarkDupState([A("c1", 1000)])
+    st.sigs.add((pid, 0, 1234 + pid))   # distinct per host
+    dist.merge_markdup_signatures(st)
+    assert len(st.sigs) == n, st.sigs
+
+    stats = dist.reduce_stats({"reads": 10 * (pid + 1), "waves": 1})
+    dist.barrier()
+    print(json.dumps({"pid": pid, "sigs": len(st.sigs),
+                      "reads": stats["reads"]}))
+""")
+
+
+def test_shard_batches():
+    batches = [[i] for i in range(10)]
+    got0 = list(shard_batches(iter(batches), 0, 3))
+    got1 = list(shard_batches(iter(batches), 1, 3))
+    got2 = list(shard_batches(iter(batches), 2, 3))
+    assert got0 == [[0], [3], [6], [9]]
+    assert got1 == [[1], [4], [7]]
+    assert got2 == [[2], [5], [8]]
+
+
+def test_two_process_collectives(tmp_path):
+    port = "9917"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "PYTHONPATH": "/root/repo:/root/.axon_site",
+           "JAX_PLATFORMS": "cpu"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), "2", port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    import json
+    rows = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    assert all(r["sigs"] == 2 for r in rows)
+    assert all(r["reads"] == 30.0 for r in rows)  # 10 + 20
