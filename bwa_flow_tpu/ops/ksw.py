@@ -21,6 +21,11 @@ import dataclasses
 
 import numpy as np
 
+try:  # native host kernels (native/_native.cpp); exact same semantics
+    from .. import _native as _NAT
+except ImportError:  # pragma: no cover - built envs always have it
+    _NAT = None
+
 KSW_XBYTE = 0x10000
 KSW_XSTOP = 0x20000
 KSW_XSUBO = 0x40000
@@ -52,7 +57,25 @@ def ksw_extend2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
                 mat: np.ndarray, o_del: int, e_del: int, o_ins: int,
                 e_ins: int, w: int, end_bonus: int, zdrop: int, h0: int
                 ) -> tuple[int, int, int, int, int, int]:
-    """Returns (score, qle, tle, gtle, gscore, max_off)."""
+    """Returns (score, qle, tle, gtle, gscore, max_off). Dispatches to the
+    native kernel when built (identical semantics; tests diff the two)."""
+    if _NAT is not None:
+        assert h0 > 0
+        return _NAT.ksw_extend2(
+            int(qlen), np.ascontiguousarray(query[:qlen], dtype=np.uint8),
+            int(tlen), np.ascontiguousarray(target[:tlen], dtype=np.uint8),
+            np.ascontiguousarray(mat, dtype=np.int8), mat.shape[0], o_del,
+            e_del, o_ins, e_ins, w, end_bonus, zdrop, h0)
+    return ksw_extend2_py(qlen, query, tlen, target, mat, o_del, e_del,
+                          o_ins, e_ins, w, end_bonus, zdrop, h0)
+
+
+def ksw_extend2_py(qlen: int, query: np.ndarray, tlen: int,
+                   target: np.ndarray, mat: np.ndarray, o_del: int,
+                   e_del: int, o_ins: int, e_ins: int, w: int,
+                   end_bonus: int, zdrop: int, h0: int
+                   ) -> tuple[int, int, int, int, int, int]:
+    """Pure-NumPy oracle (always available, never dispatches)."""
     assert h0 > 0
     m = mat.shape[0]
     oe_del = o_del + e_del
@@ -149,7 +172,23 @@ def ksw_global2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
                 e_ins: int, w: int, want_cigar: bool = True
                 ) -> tuple[int, list[tuple[int, int]]]:
     """Banded global alignment. Returns (score, cigar) with cigar as
-    [(op, len)] (op: 0=M 1=I 2=D)."""
+    [(op, len)] (op: 0=M 1=I 2=D). Dispatches to native when built."""
+    if _NAT is not None:
+        score, cig = _NAT.ksw_global2(
+            int(qlen), np.ascontiguousarray(query[:qlen], dtype=np.uint8),
+            int(tlen), np.ascontiguousarray(target[:tlen], dtype=np.uint8),
+            np.ascontiguousarray(mat, dtype=np.int8), mat.shape[0], o_del,
+            e_del, o_ins, e_ins, w, bool(want_cigar))
+        return score, cig
+    return ksw_global2_py(qlen, query, tlen, target, mat, o_del, e_del,
+                          o_ins, e_ins, w, want_cigar)
+
+
+def ksw_global2_py(qlen: int, query: np.ndarray, tlen: int,
+                   target: np.ndarray, mat: np.ndarray, o_del: int,
+                   e_del: int, o_ins: int, e_ins: int, w: int,
+                   want_cigar: bool = True) -> tuple[int, list]:
+    """Pure-NumPy oracle (always available, never dispatches)."""
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     n_col = min(qlen, 2 * w + 1)

@@ -1,0 +1,293 @@
+// bwa_flow_tpu native host kernels (CPython extension).
+//
+// The reference keeps its host hot loops in C (banded Smith-Waterman,
+// /root/reference/bwa/ksw.c); this module provides the same role for the
+// TPU framework's *host-side* work: CIGAR generation (banded global
+// alignment + traceback) and the scalar extension fallback. Both are
+// C++ ports of this repo's own golden NumPy specifications
+// (bwa_flow_tpu/ops/ksw.py) — integer-exact against them, enforced by
+// tests/test_native.py.
+//
+// Build: python setup.py build_ext --inplace  (g++, no external deps)
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int64_t MINUS_INF = -0x40000000;
+
+struct Ext2Result {
+  int64_t score, qle, tle, gtle, gscore, max_off;
+};
+
+// Exact ksw_extend2 semantics (golden: bwa_flow_tpu/ops/ksw.py:51-144).
+Ext2Result ksw_extend2(int qlen, const uint8_t* query, int tlen,
+                       const uint8_t* target, const int8_t* mat, int m,
+                       int o_del, int e_del, int o_ins, int e_ins, int w,
+                       int end_bonus, int zdrop, int h0) {
+  const int oe_del = o_del + e_del;
+  const int oe_ins = o_ins + e_ins;
+  std::vector<int64_t> ehH(qlen + 2, 0), ehE(qlen + 2, 0);
+  std::vector<int64_t> qp((size_t)m * qlen);
+  int max_sc = 0;
+  for (int i = 0; i < m * m; ++i)
+    if (mat[i] > max_sc) max_sc = mat[i];
+  for (int c = 0; c < m; ++c)
+    for (int j = 0; j < qlen; ++j)
+      qp[(size_t)c * qlen + j] = mat[c * m + query[j]];
+
+  ehH[0] = h0;
+  ehH[1] = h0 > oe_ins ? h0 - oe_ins : 0;
+  for (int j = 2; j <= qlen && ehH[j - 1] > e_ins; ++j)
+    ehH[j] = ehH[j - 1] - e_ins;
+
+  {  // band cap (double math, truncated)
+    int max_ins = (int)(((double)qlen * max_sc + end_bonus - o_ins) /
+                            e_ins + 1.0);
+    if (max_ins < 1) max_ins = 1;
+    if (w > max_ins) w = max_ins;
+    int max_del = (int)(((double)qlen * max_sc + end_bonus - o_del) /
+                            e_del + 1.0);
+    if (max_del < 1) max_del = 1;
+    if (w > max_del) w = max_del;
+  }
+
+  int64_t maxv = h0, gscore = -1, max_off = 0;
+  int max_i = -1, max_j = -1, max_ie = -1;
+  int beg = 0, end = qlen;
+  for (int i = 0; i < tlen; ++i) {
+    const int64_t* q = &qp[(size_t)target[i] * qlen];
+    if (beg < i - w) beg = i - w;
+    if (end > i + w + 1) end = i + w + 1;
+    if (end > qlen) end = qlen;
+    int64_t h1 = 0;
+    if (beg == 0) {
+      h1 = h0 - (o_del + (int64_t)e_del * (i + 1));
+      if (h1 < 0) h1 = 0;
+    }
+    if (beg >= end) break;
+    int64_t f = 0, mrow = 0;
+    int mj = end - 1;
+    for (int j = beg; j < end; ++j) {
+      const int64_t hd = ehH[j];        // H(i-1, j-1)
+      const int64_t ein = ehE[j];       // E(i, j)
+      ehH[j] = h1;                      // H(i, j-1)
+      const int64_t M = hd ? hd + q[j] : 0;
+      int64_t h = M >= ein ? M : ein;
+      h = h >= f ? h : f;
+      h1 = h;
+      if (h >= mrow) { mrow = h; mj = j; }   // last argmax
+      int64_t t = M - oe_del;
+      if (t < 0) t = 0;
+      int64_t e2 = ein - e_del;
+      ehE[j] = e2 > t ? e2 : t;
+      t = M - oe_ins;
+      if (t < 0) t = 0;
+      f = f - e_ins;
+      if (t > f) f = t;
+    }
+    ehH[end] = h1;
+    ehE[end] = 0;
+    if (end == qlen) {
+      if (h1 >= gscore) max_ie = i;
+      if (h1 > gscore) gscore = h1;
+    }
+    if (mrow == 0) break;
+    if (mrow > maxv) {
+      maxv = mrow;
+      max_i = i;
+      max_j = mj;
+      int64_t off = mj > i ? mj - i : i - mj;
+      if (off > max_off) max_off = off;
+    } else if (zdrop > 0) {
+      const int64_t di = i - max_i, dj = mj - max_j;
+      if (di > dj) {
+        if (maxv - mrow - (di - dj) * e_del > zdrop) break;
+      } else {
+        if (maxv - mrow - (dj - di) * e_ins > zdrop) break;
+      }
+    }
+    // band shrink over the written-back arrays
+    int j = beg;
+    while (j < end && ehH[j] == 0 && ehE[j] == 0) ++j;
+    beg = j;
+    j = end;
+    while (j >= beg && ehH[j] == 0 && ehE[j] == 0) --j;
+    end = j + 2 < qlen ? j + 2 : qlen;
+  }
+  return {maxv, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off};
+}
+
+// Exact ksw_global2 semantics (golden: bwa_flow_tpu/ops/ksw.py:147-221).
+int64_t ksw_global2(int qlen, const uint8_t* query, int tlen,
+                    const uint8_t* target, const int8_t* mat, int m,
+                    int o_del, int e_del, int o_ins, int e_ins, int w,
+                    bool want_cigar,
+                    std::vector<std::pair<int, int>>* cigar) {
+  const int oe_del = o_del + e_del;
+  const int oe_ins = o_ins + e_ins;
+  const int n_col = qlen < 2 * w + 1 ? qlen : 2 * w + 1;
+  std::vector<int64_t> ehH(qlen + 2, MINUS_INF), ehE(qlen + 2, MINUS_INF);
+  std::vector<int64_t> qp((size_t)m * qlen);
+  for (int c = 0; c < m; ++c)
+    for (int j = 0; j < qlen; ++j)
+      qp[(size_t)c * qlen + j] = mat[c * m + query[j]];
+  std::vector<uint8_t> z;
+  if (want_cigar) z.assign((size_t)tlen * n_col, 0);
+  ehH[0] = 0;
+  for (int j = 1; j <= qlen && j <= w; ++j)
+    ehH[j] = -(o_ins + (int64_t)e_ins * j);
+  for (int i = 0; i < tlen; ++i) {
+    const int64_t* q = &qp[(size_t)target[i] * qlen];
+    const int beg = i - w > 0 ? i - w : 0;
+    const int end = i + w + 1 < qlen ? i + w + 1 : qlen;
+    int64_t h1 = beg == 0 ? -(o_del + (int64_t)e_del * (i + 1))
+                          : MINUS_INF;
+    int64_t f = MINUS_INF;
+    uint8_t* zi = want_cigar ? &z[(size_t)i * n_col] : nullptr;
+    for (int j = beg; j < end; ++j) {
+      const int64_t hd = ehH[j];
+      const int64_t ein = ehE[j];
+      ehH[j] = h1;
+      const int64_t M = hd + q[j];
+      uint8_t d = M >= ein ? 0 : 1;
+      int64_t h = M >= ein ? M : ein;
+      d = h >= f ? d : 2;
+      h = h >= f ? h : f;
+      h1 = h;
+      const int64_t t_del = M - oe_del;
+      const int64_t e_dec = ein - e_del;
+      d |= e_dec > t_del ? 1 << 2 : 0;
+      ehE[j] = e_dec > t_del ? e_dec : t_del;
+      const int64_t t_ins = M - oe_ins;
+      const int64_t f_dec = f - e_ins;
+      d |= f_dec > t_ins ? 2 << 4 : 0;
+      f = f_dec > t_ins ? f_dec : t_ins;
+      if (want_cigar) zi[j - beg] = d;
+    }
+    ehH[end] = h1;
+    ehE[end] = MINUS_INF;
+  }
+  const int64_t score = ehH[qlen];
+  if (want_cigar) {
+    std::vector<std::pair<int, int>> rev;
+    auto push = [&rev](int op, int len) {
+      if (!rev.empty() && rev.back().first == op)
+        rev.back().second += len;
+      else
+        rev.emplace_back(op, len);
+    };
+    int i = tlen - 1;
+    int k = (i + w + 1 < qlen ? i + w + 1 : qlen) - 1;
+    int which = 0;
+    while (i >= 0 && k >= 0) {
+      const int beg = i - w > 0 ? i - w : 0;
+      which = (z[(size_t)i * n_col + (k - beg)] >> (which << 1)) & 3;
+      if (which == 0) {
+        push(0, 1);
+        --i;
+        --k;
+      } else if (which == 1) {
+        push(2, 1);
+        --i;
+      } else {
+        push(1, 1);
+        --k;
+      }
+    }
+    if (i >= 0) push(2, i + 1);
+    if (k >= 0) push(1, k + 1);
+    cigar->assign(rev.rbegin(), rev.rend());
+  }
+  return score;
+}
+
+// ---------------------------------------------------------------------
+// Python bindings
+// ---------------------------------------------------------------------
+
+bool get_u8(PyObject* obj, Py_buffer* view, const char* name) {
+  if (PyObject_GetBuffer(obj, view, PyBUF_SIMPLE) != 0) {
+    PyErr_Format(PyExc_TypeError, "%s: expected a contiguous buffer", name);
+    return false;
+  }
+  return true;
+}
+
+PyObject* py_extend2(PyObject*, PyObject* args) {
+  int qlen, tlen, m, o_del, e_del, o_ins, e_ins, w, end_bonus, zdrop, h0;
+  PyObject *qo, *to, *mo;
+  if (!PyArg_ParseTuple(args, "iOiOOiiiiiiiii", &qlen, &qo, &tlen, &to,
+                        &mo, &m, &o_del, &e_del, &o_ins, &e_ins, &w,
+                        &end_bonus, &zdrop, &h0))
+    return nullptr;
+  Py_buffer qb, tb, mb;
+  if (!get_u8(qo, &qb, "query")) return nullptr;
+  if (!get_u8(to, &tb, "target")) { PyBuffer_Release(&qb); return nullptr; }
+  if (!get_u8(mo, &mb, "mat")) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&tb);
+    return nullptr;
+  }
+  Ext2Result r = ksw_extend2(
+      qlen, (const uint8_t*)qb.buf, tlen, (const uint8_t*)tb.buf,
+      (const int8_t*)mb.buf, m, o_del, e_del, o_ins, e_ins, w, end_bonus,
+      zdrop, h0);
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&tb);
+  PyBuffer_Release(&mb);
+  return Py_BuildValue("(LLLLLL)", (long long)r.score, (long long)r.qle,
+                       (long long)r.tle, (long long)r.gtle,
+                       (long long)r.gscore, (long long)r.max_off);
+}
+
+PyObject* py_global2(PyObject*, PyObject* args) {
+  int qlen, tlen, m, o_del, e_del, o_ins, e_ins, w, want_cigar = 1;
+  PyObject *qo, *to, *mo;
+  if (!PyArg_ParseTuple(args, "iOiOOiiiiii|p", &qlen, &qo, &tlen, &to,
+                        &mo, &m, &o_del, &e_del, &o_ins, &e_ins, &w,
+                        &want_cigar))
+    return nullptr;
+  Py_buffer qb, tb, mb;
+  if (!get_u8(qo, &qb, "query")) return nullptr;
+  if (!get_u8(to, &tb, "target")) { PyBuffer_Release(&qb); return nullptr; }
+  if (!get_u8(mo, &mb, "mat")) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&tb);
+    return nullptr;
+  }
+  std::vector<std::pair<int, int>> cig;
+  int64_t score = ksw_global2(
+      qlen, (const uint8_t*)qb.buf, tlen, (const uint8_t*)tb.buf,
+      (const int8_t*)mb.buf, m, o_del, e_del, o_ins, e_ins, w,
+      want_cigar != 0, &cig);
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&tb);
+  PyBuffer_Release(&mb);
+  PyObject* clist = PyList_New((Py_ssize_t)cig.size());
+  for (Py_ssize_t i = 0; i < (Py_ssize_t)cig.size(); ++i)
+    PyList_SET_ITEM(clist, i,
+                    Py_BuildValue("(ii)", cig[i].first, cig[i].second));
+  PyObject* ret = Py_BuildValue("(LN)", (long long)score, clist);
+  return ret;
+}
+
+PyMethodDef methods[] = {
+    {"ksw_extend2", py_extend2, METH_VARARGS,
+     "scalar banded extension (exact golden semantics)"},
+    {"ksw_global2", py_global2, METH_VARARGS,
+     "banded global alignment + CIGAR (exact golden semantics)"},
+    {nullptr, nullptr, 0, nullptr}};
+
+struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_native",
+                                "bwa_flow_tpu native host kernels", -1,
+                                methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&moduledef); }
