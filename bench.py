@@ -45,9 +45,9 @@ GENOME_LEN = 2_000_000
 READ_LEN = 151
 B_EXT = 2048
 QMAX, TMAX = 160, 320
-B_SMEM = 1024
+B_SMEM = 8192
 SMEM_L = 160
-N_E2E = 512
+N_E2E = 4096
 
 CODE = np.full(256, 4, np.uint8)
 for _i, _c in enumerate(b"ACGT"):
@@ -145,6 +145,10 @@ def bench_smem(rng, genome, fm, dfm, opt):
 
 
 def bench_e2e(rng, genome, fm, opt):
+    """End-to-end SE through the full dataflow pipeline (device stages +
+    host worker pool), the production path of `bwa_flow_tpu mem`."""
+    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+
     reads = []
     for i in range(N_E2E):
         pos = int(rng.integers(0, len(genome) - READ_LEN))
@@ -153,13 +157,22 @@ def bench_e2e(rng, genome, fm, opt):
         r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
         reads.append(Read(name=f"r{i}", seq=r.astype(np.uint8),
                           qual="I" * READ_LEN, id=i))
-    ba = BatchAligner(opt, fm, smem_L=SMEM_L, wave_cap=N_E2E,
-                      qmax=QMAX, tmax=TMAX + 192)
-    ba.align_se(reads[:8])  # compile
-    t0 = time.time()
-    ba.align_se(reads)
-    dt = time.time() - t0
-    return N_E2E / dt, ba.stats
+    n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
+    pipe = AlignPipeline(opt, fm, paired=False, n_workers=n_workers,
+                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=2048,
+                                         qmax=QMAX, tmax=TMAX + 192))
+    done = []
+    try:
+        pipe.run(iter([reads[:64]]), done.extend)  # compile warmup
+        done.clear()
+        batches = [reads[i:i + 2048] for i in range(0, N_E2E, 2048)]
+        t0 = time.time()
+        pipe.run(iter(batches), done.extend)
+        dt = time.time() - t0
+    finally:
+        pipe.close()
+    assert len(done) == N_E2E
+    return N_E2E / dt, pipe.ba.stats
 
 
 def main():

@@ -236,7 +236,7 @@ def main_mem(argv: list[str]) -> int:
         args.output = f"{root or ext}.part{pid:03d}" + \
             (dot + ext if root else "")
     t0 = time.time()
-    fm = load_index(args.ref)
+    fm = load_index(args.ref, ignore_alt=args.ignore_alt)
     print(f"[M::mem] loaded index {args.ref} in {time.time()-t0:.1f}s",
           file=sys.stderr)
     pes0 = parse_insert_override(args.insert_override) \

@@ -171,12 +171,27 @@ def save_index(prefix: str, fm: FMIndex) -> None:
     write_ann_amb(prefix, fm.bns)
 
 
-def load_index(prefix: str) -> FMIndex:
-    """Load stock ``bwa index`` output into an FMIndex."""
+def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
+    """Load stock ``bwa index`` output into an FMIndex.
+
+    A ``<prefix>.alt`` file (bwa-postalt convention: SAM-ish lines whose
+    QNAME column names ALT contigs) marks those contigs is_alt, exactly as
+    bwa_idx_load_bns does; ``ignore_alt`` mirrors bwa mem -j."""
     bwt_u8, primary, L2 = read_bwt(prefix + ".bwt")
     seq_len = int(L2[4])
     sa_intv, sa = read_sa(prefix + ".sa", seq_len, primary)
     bns = read_ann_amb(prefix)
+    alt_path = prefix + ".alt"
+    if not ignore_alt and os.path.exists(alt_path):
+        alt_names = set()
+        with open(alt_path) as f:
+            for line in f:
+                if line.startswith("@") or not line.strip():
+                    continue
+                alt_names.add(line.split("\t", 1)[0].split()[0])
+        for ann in bns.anns:
+            if ann.name in alt_names:
+                ann.is_alt = 1
     fm = FMIndex.from_bwt(bwt_u8, primary, sa_intv, sa, bns=bns)
     assert fm.seq_len == seq_len and (fm.L2 == L2).all()
     return fm

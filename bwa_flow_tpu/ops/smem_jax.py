@@ -93,15 +93,22 @@ def _take_row(arr, idx):
     return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0, :]
 
 
-def _scatter_row(arr, idx, val, do):
-    """arr[b, idx[b], :] = val[b] where do[b] — as a masked one-hot select.
+def _scatter_slot(arr, idx, val, do):
+    """arr[b, :, idx[b]] = val[b, :] where do[b] — masked one-hot select.
 
-    TPU lowers variadic 2-D scatters to per-row sequential updates (B
-    dynamic-update-slices per call), which dominated the machine's
-    iteration time; the dense select is pure VPU work."""
-    sel = (jnp.arange(arr.shape[1], dtype=I32)[None, :] == idx[:, None]) \
+    Two TPU lowering rules shape this: (a) variadic scatters lower to B
+    sequential row updates, so writes are dense selects; (b) the minor
+    dimension tiles to 128 vector lanes, so the slot axis is kept MINOR
+    ([B, K, N_slots]) — a [B, N, K<=4] layout wastes ~32x on tile padding."""
+    sel = (jnp.arange(arr.shape[2], dtype=I32)[None, :] == idx[:, None]) \
         & do[:, None]
-    return jnp.where(sel[..., None], val[:, None, :], arr)
+    return jnp.where(sel[:, None, :], val[:, :, None], arr)
+
+
+def _take_slot(arr, idx):
+    """arr[b, :, idx[b]] for [B, K, N] slot-minor buffers."""
+    oh = jnp.arange(arr.shape[2], dtype=I32)[None, :] == idx[:, None]
+    return (arr * oh[:, None, :].astype(arr.dtype)).sum(axis=2)
 
 
 def _scatter1(arr, idx, val, do):
@@ -118,6 +125,7 @@ def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
     the bwa jump rule (x <- end of longest match)."""
     B = q.shape[0]
     jl = jnp.arange(c.L, dtype=I32)[None, :]
+    valid_base = (jl < qlen[:, None]) & (q < 4)  # loop-invariant
 
     def cond(s):
         return (s["it"] < c.ITERS) & jnp.any(s["mode"] != 3)
@@ -135,7 +143,7 @@ def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
             tcur = jnp.where(m0, s["tcur"] + 1, s["tcur"])
             found = has
         else:
-            ok_piv = (jl >= s["x"][:, None]) & (jl < qlen[:, None]) & (q < 4)
+            ok_piv = (jl >= s["x"][:, None]) & valid_base
             cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
             found = cand < BIG32
             new_x = jnp.where(m0 & found, cand, s["x"])
@@ -169,7 +177,7 @@ def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
         adv = m1 & ~to_back
 
         nb_ovf = push & (nb >= c.MAXB)
-        curr_kls = _scatter_row(s["curr_kls"], nb, ik, push & ~nb_ovf)
+        curr_kls = _scatter_slot(s["curr_kls"], nb, ik, push & ~nb_ovf)
         curr_end = _scatter1(s["curr_end"], nb, ik_info, push & ~nb_ovf)
         nb = jnp.where(push & ~nb_ovf, nb + 1, nb)
 
@@ -182,7 +190,7 @@ def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
         pivot_next = jnp.where(to_back, _take1(curr_end, last),
                                s["pivot_next"])
         slot = jnp.where(to_back, nb - 1, s["slot"])
-        bst = jnp.where(to_back[:, None], _take_row(curr_kls, last),
+        bst = jnp.where(to_back[:, None], _take_slot(curr_kls, last),
                         s["bst"])
         i_b = jnp.where(to_back, x - 1, s["i_b"])
         r_prev = jnp.where(to_back, BIG32, s["r_prev"])
@@ -207,14 +215,14 @@ def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
                 | e_slot.astype(I64))
         new_mem = jnp.concatenate([bst, info[:, None]], axis=1)
         mem_ovf = emit & (s["n_mem"] >= c.MAXM)
-        mems = _scatter_row(s["mems"], s["n_mem"], new_mem, emit & ~mem_ovf)
+        mems = _scatter_slot(s["mems"], s["n_mem"], new_mem, emit & ~mem_ovf)
         n_mem = jnp.where(emit & ~mem_ovf, s["n_mem"] + 1, s["n_mem"])
         r_prev = jnp.where(dead, r, r_prev)
 
         slot2 = jnp.where(dead, slot - 1, slot)
         more = dead & (slot2 >= 0)
         nxt = jnp.clip(slot2, 0, c.MAXB - 1)
-        bst = jnp.where(more[:, None], _take_row(curr_kls, nxt), bst)
+        bst = jnp.where(more[:, None], _take_slot(curr_kls, nxt), bst)
         i_b2 = jnp.where(more, x - 1, i_b2)
         back_done = dead & (slot2 < 0)
         mode = jnp.where(back_done, 0, mode)
@@ -239,6 +247,7 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
     """LAST-like third pass (bwt_seed_strategy1, bwa/bwt.c:358-379)."""
     B = q.shape[0]
     jl = jnp.arange(c.L, dtype=I32)[None, :]
+    valid_base = (jl < qlen[:, None]) & (q < 4)  # loop-invariant
     st0 = dict(mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
                i=jnp.zeros(B, I32),
                ik=jnp.zeros((B, 3), I64), mems=mems, n_mem=n_mem,
@@ -250,7 +259,7 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
     def step(s):
         mode = s["mode"]
         m0 = mode == 0
-        ok_piv = (jl >= s["x"][:, None]) & (jl < qlen[:, None]) & (q < 4)
+        ok_piv = (jl >= s["x"][:, None]) & valid_base
         cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
         found = cand < BIG32
         x = jnp.where(m0 & found, cand, s["x"])
@@ -274,7 +283,7 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
         info = ((x.astype(I64) << 32) | (i + 1).astype(I64))
         new_mem = jnp.concatenate([okc, info[:, None]], axis=1)
         mem_ovf = emit & (s["n_mem"] >= c.MAXM)
-        mems2 = _scatter_row(s["mems"], s["n_mem"], new_mem,
+        mems2 = _scatter_slot(s["mems"], s["n_mem"], new_mem,
                              emit & ~mem_ovf)
         n_mem = jnp.where(emit & ~mem_ovf, s["n_mem"] + 1, s["n_mem"])
 
@@ -301,7 +310,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     bwa/bwamem.c:120-168), sorted by info.
 
     q: int32[B, L] (0..4; pad >= 4 beyond qlen); qlen int32[B].
-    Returns (mems int64[B, MAXM, 4] = (k, l, s, info), n_mem int32[B],
+    Returns (mems int64[B, 4, MAXM] = (k, l, s, info) rows, n_mem int32[B],
     overflow bool[B])."""
     B = q.shape[0]
     c = _MachineConsts(L, MAXB, MAXM, ITERS)
@@ -312,14 +321,14 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
             i=jnp.zeros(B, I32), ik=jnp.zeros((B, 3), I64),
             ik_info=jnp.zeros(B, I32), min_intv=min_intv,
             nb=jnp.zeros(B, I32),
-            curr_kls=jnp.zeros((B, MAXB, 3), I64),
+            curr_kls=jnp.zeros((B, 3, MAXB), I64),
             curr_end=jnp.zeros((B, MAXB), I32),
             slot=jnp.zeros(B, I32), bst=jnp.zeros((B, 3), I64),
             i_b=jnp.zeros(B, I32), r_prev=jnp.full(B, BIG32, I32),
             pivot_next=jnp.zeros(B, I32), tcur=jnp.zeros(B, I32),
             mems=mems, n_mem=n_mem, ovf=ovf, it=jnp.zeros((), I32))
 
-    mems0 = jnp.zeros((B, MAXM, 4), I64)
+    mems0 = jnp.zeros((B, 4, MAXM), I64)
     n0 = jnp.zeros(B, I32)
     ovf0 = jnp.zeros(B, bool)
 
@@ -331,15 +340,15 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
 
     # pass 2: re-seed long low-occ SMEMs from the middle, min_intv = s+1
     slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
-    start = (mems[:, :, 3] >> 32).astype(I32)
-    end = (mems[:, :, 3] & 0xFFFFFFFF).astype(I32)
+    start = (mems[:, 3, :] >> 32).astype(I32)
+    end = (mems[:, 3, :] & 0xFFFFFFFF).astype(I32)
     want = (slot_i < n_mem[:, None]) \
         & ((end - start) >= split_len) \
-        & (mems[:, :, 2] <= split_width.astype(I64))
+        & (mems[:, 2, :] <= split_width.astype(I64))
     order = jnp.argsort(~want, axis=1, stable=True)
     mid = ((start + end) >> 1).astype(I32)
     task_x = jnp.take_along_axis(mid, order, axis=1)
-    task_mi = jnp.take_along_axis(mems[:, :, 2] + 1, order, axis=1)
+    task_mi = jnp.take_along_axis(mems[:, 2, :] + 1, order, axis=1)
     n_task = want.sum(axis=1).astype(I32)
 
     s2 = _pass12_machine(dfm, c, q, qlen, min_seed_len,
@@ -357,10 +366,10 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     ovf = jnp.where(use3, ovf3, ovf)
 
     # final sort by info (ks_introsort mem_intv semantics)
-    key = jnp.where(slot_i < n_mem[:, None], mems[:, :, 3],
+    key = jnp.where(slot_i < n_mem[:, None], mems[:, 3, :],
                     jnp.iinfo(jnp.int64).max)
     order = jnp.argsort(key, axis=1)
-    mems = jnp.take_along_axis(mems, order[:, :, None], axis=1)
+    mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)
     return mems, n_mem, ovf
 
 
@@ -369,6 +378,9 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
                        MAXB: int = 64, MAXM: int = 128,
                        iters_factor: int = 16
                        ) -> list[list[smem_golden.Intv]]:
+    # NB: shrinking MAXB/MAXM below 64/128 measured *slower* on v5e (the
+    # slot axis maps to vector lanes; 128 tiles cleanly), so the budget
+    # defaults stay at the reference's FPGA task shape (SMemTask.cpp:26-28).
     """Host wrapper: pad reads to [B, L], run the device machine, unpack to
     Intv lists; reads that overflowed any budget are redone with the golden
     implementation (reference redo pattern, FPGAPipeline.cpp:706-714)."""
@@ -398,6 +410,6 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
             out.append(smem_golden.collect_intv(opt, fm, r))
             continue
         lst = [smem_golden.Intv(int(k), int(l), int(s), int(info))
-               for k, l, s, info in mems[b, :n_mem[b]]]
+               for k, l, s, info in mems[b, :, :n_mem[b]].T]
         out.append(lst)
     return out
