@@ -189,6 +189,8 @@ def main():
     print(f"# smem seeding: {smem_rps:.0f} reads/s", file=sys.stderr)
     e2e_rps, stats = bench_e2e(rng, genome, fm, opt)
     print(f"# e2e: {e2e_rps:.0f} reads/s  {stats}", file=sys.stderr)
+    from bwa_flow_tpu.utils.trace import GLOBAL as _tr
+    print("# spans:\n" + _tr.report(), file=sys.stderr)
 
     print(json.dumps({
         "metric": "banded_sw_extend_throughput",

@@ -405,11 +405,11 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
     n_mem = np.asarray(n_mem)
     ovf = np.asarray(ovf)
     out = []
+    Intv = smem_golden.Intv
     for b, r in enumerate(reads):
         if ovf[b] or len(r) > L:
             out.append(smem_golden.collect_intv(opt, fm, r))
             continue
-        lst = [smem_golden.Intv(int(k), int(l), int(s), int(info))
-               for k, l, s, info in mems[b, :, :n_mem[b]].T]
-        out.append(lst)
+        rows = mems[b, :, :n_mem[b]].T.tolist()  # one bulk conversion
+        out.append([Intv(k, l, s, info) for k, l, s, info in rows])
     return out

@@ -101,7 +101,7 @@ class BatchAligner:
             pad = np.zeros(self.sa_chunk, dtype=np.int64)
             pad[:len(chunk)] = chunk
             vals, ovf = sa_batch(self.dfm, pad)
-            vals = np.asarray(vals[:len(chunk)])
+            vals = np.array(vals[:len(chunk)])  # writable: ovf redo below
             ovf = np.asarray(ovf[:len(chunk)])
             for j in np.nonzero(ovf)[0]:
                 vals[j] = fmops.bwt_sa(self.fm, int(chunk[j]))

@@ -207,20 +207,27 @@ class AlignPipeline:
             emit: Callable[[list[Read]], None]) -> int:
         """Two-deep software pipeline over batches; calls emit(batch) in
         order with .sam filled. Returns reads processed."""
+        from ..utils.trace import GLOBAL as tracer
         n_processed = 0
         pending = None  # (join, ) of the previous batch's tail
         for batch in batches:
             seqs = [r.seq for r in batch]
             # device front (SMEM + SA) for THIS batch while the previous
             # batch's tail drains in the pool
-            intvs = self.ba.collect_seeds(seqs)
-            luts = self.ba._resolve_sa(intvs)
-            chains = self._chains(seqs, intvs, luts)
-            regs = self.ba.extend_waves(seqs, chains)
+            with tracer.span("seed"):
+                intvs = self.ba.collect_seeds(seqs)
+            with tracer.span("sa"):
+                luts = self.ba._resolve_sa(intvs)
+            with tracer.span("chain"):
+                chains = self._chains(seqs, intvs, luts)
+            with tracer.span("extend_waves"):
+                regs = self.ba.extend_waves(seqs, chains)
             if pending is not None:
-                emit(pending())
+                with tracer.span("emit_wait"):
+                    emit(pending())
             pending = self._tail_async(batch, regs, n_processed)
             n_processed += len(batch)
         if pending is not None:
-            emit(pending())
+            with tracer.span("emit_wait"):
+                emit(pending())
         return n_processed
