@@ -103,9 +103,17 @@ def occ_batch(dfm: DeviceFM, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     blk = (kk // BLOCK).astype(jnp.int32)
     within = (kk % BLOCK).astype(jnp.int32) + 1
     counts, words = _row_words(dfm, blk)
-    base = jnp.take_along_axis(counts, c[..., None], axis=-1)[..., 0]
+    # unrolled 4-way selects: batched take_along_axis lowers to slow
+    # per-row gathers on TPU
+    base = counts[..., 0]
+    l2c = jnp.full_like(c.astype(jnp.int64), dfm.L2[0])
+    l2c1 = jnp.full_like(c.astype(jnp.int64), dfm.L2[1])
+    for cc in range(1, 4):
+        base = jnp.where(c == cc, counts[..., cc], base)
+        l2c = jnp.where(c == cc, dfm.L2[cc], l2c)
+        l2c1 = jnp.where(c == cc, dfm.L2[cc + 1], l2c1)
     val = base.astype(jnp.int64) + _count_slots(words, c, within)
-    end_val = jnp.take(dfm.L2, c + 1) - jnp.take(dfm.L2, c)
+    end_val = l2c1 - l2c
     return jnp.where(at_neg, 0, jnp.where(at_end, end_val, val))
 
 
@@ -161,10 +169,14 @@ def bwt_extend_batch(dfm: DeviceFM, ik: jnp.ndarray, is_back: bool
 def set_intv_batch(dfm: DeviceFM, c: jnp.ndarray) -> jnp.ndarray:
     """Initial single-base intervals (bwa/bwt.h:80). c: int32[...] in [0,3].
     Returns int64[..., 3]."""
-    k = jnp.take(dfm.L2, c) + 1
-    l = jnp.take(dfm.L2, 3 - c) + 1
-    s = jnp.take(dfm.L2, c + 1) - jnp.take(dfm.L2, c)
-    return jnp.stack([k, l, s], axis=-1)
+    z = jnp.zeros_like(c, dtype=jnp.int64)
+    l2c, l2c1, l2r = z + dfm.L2[0], z + dfm.L2[1], z + dfm.L2[3]
+    for cc in range(1, 4):
+        sel = c == cc
+        l2c = jnp.where(sel, dfm.L2[cc], l2c)
+        l2c1 = jnp.where(sel, dfm.L2[cc + 1], l2c1)
+        l2r = jnp.where(sel, dfm.L2[3 - cc], l2r)
+    return jnp.stack([l2c + 1, l2r + 1, l2c1 - l2c], axis=-1)
 
 
 def bwt_b0_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
@@ -173,7 +185,10 @@ def bwt_b0_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
     off = (k % BLOCK).astype(jnp.int32)
     rows = dfm.fm_blocks[blk]
     words = jax.lax.bitcast_convert_type(rows[..., 4:8], jnp.uint32)
-    word = jnp.take_along_axis(words, (off[..., None] >> 4), axis=-1)[..., 0]
+    wsel = off >> 4
+    word = words[..., 0]
+    for ww in range(1, 4):
+        word = jnp.where(wsel == ww, words[..., ww], word)
     shift = ((15 - (off & 15)) << 1).astype(jnp.uint32)
     return ((word >> shift) & 3).astype(jnp.int32)
 
@@ -182,7 +197,10 @@ def _inv_psi_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
     """LF-mapping step (bwa/bwt.c:53-59). int64[...] -> int64[...]."""
     x = k - (k > dfm.primary).astype(k.dtype)
     c = bwt_b0_batch(dfm, x)
-    lf = jnp.take(dfm.L2, c) + occ_batch(dfm, k, c)
+    l2 = jnp.full_like(k, dfm.L2[0])
+    for cc in range(1, 4):
+        l2 = jnp.where(c == cc, dfm.L2[cc], l2)
+    lf = l2 + occ_batch(dfm, k, c)
     return jnp.where(k == dfm.primary, 0, lf)
 
 

@@ -58,8 +58,11 @@ def bwt_extend_dir_batch(dfm: DeviceFM, ik: jnp.ndarray,
     The two occ probes are shared between directions."""
     probe = jnp.where(is_back, ik[:, 0], ik[:, 1])
     s = ik[:, 2]
-    occ2 = occ4_batch(dfm, jnp.stack([probe - 1, probe - 1 + s], axis=-1))
-    tk, tl = occ2[:, 0, :], occ2[:, 1, :]
+    # flat [2B] probe coords: 1-D-index gathers lower to the fast TPU
+    # gather path (2-D index shapes fall back to per-row dynamic slices)
+    both = jnp.concatenate([probe - 1, probe - 1 + s], axis=0)
+    occ2 = occ4_batch(dfm, both)
+    tk, tl = occ2[: probe.shape[0]], occ2[probe.shape[0]:]
     ok_probe = dfm.L2[:4] + 1 + tk                       # [B, 4]
     ok_s = tl - tk
     crosses = ((probe <= dfm.primary) & (probe + s - 1 >= dfm.primary)
@@ -84,13 +87,19 @@ class _MachineConsts(NamedTuple):
 
 
 def _take1(arr, idx):
-    """arr[b, idx[b]] along axis 1 (idx assumed clamped)."""
-    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    """arr[b, idx[b]] along axis 1 (idx assumed clamped) — as a one-hot
+    select; batched take_along_axis gathers lower to slow per-row code."""
+    oh = jnp.arange(arr.shape[1], dtype=I32)[None, :] == idx[:, None]
+    return (arr * oh.astype(arr.dtype)).sum(axis=1, dtype=arr.dtype)
 
 
 def _take_row(arr, idx):
-    """arr[b, idx[b], :] for [B, N, 3] arrays."""
-    return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0, :]
+    """arr[b, idx[b], :] for [B, 4, 3] arrays (idx in [0, 4)) — unrolled
+    4-way select."""
+    out = arr[:, 0, :]
+    for cc in range(1, arr.shape[1]):
+        out = jnp.where((idx == cc)[:, None], arr[:, cc, :], out)
+    return out
 
 
 def _scatter_slot(arr, idx, val, do):
@@ -108,7 +117,8 @@ def _scatter_slot(arr, idx, val, do):
 def _take_slot(arr, idx):
     """arr[b, :, idx[b]] for [B, K, N] slot-minor buffers."""
     oh = jnp.arange(arr.shape[2], dtype=I32)[None, :] == idx[:, None]
-    return (arr * oh[:, None, :].astype(arr.dtype)).sum(axis=2)
+    return (arr * oh[:, None, :].astype(arr.dtype)).sum(axis=2,
+                                                        dtype=arr.dtype)
 
 
 def _scatter1(arr, idx, val, do):
