@@ -163,8 +163,13 @@ def bench_e2e(rng, genome, fm, opt):
                                          qmax=QMAX, tmax=TMAX + 192))
     done = []
     try:
-        pipe.run(iter([reads[:64]]), done.extend)  # compile warmup
+        # warmup with the PRODUCTION batch size so all compiles precede
+        # the timed region
+        pipe.run(iter([reads[:2048]]), done.extend)
         done.clear()
+        from bwa_flow_tpu.utils.trace import GLOBAL as tr
+        tr.totals.clear()
+        tr.counts.clear()
         batches = [reads[i:i + 2048] for i in range(0, N_E2E, 2048)]
         t0 = time.time()
         pipe.run(iter(batches), done.extend)

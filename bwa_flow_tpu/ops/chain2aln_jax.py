@@ -45,27 +45,11 @@ def _two_tries(qmax, tmax, q, ql, t, tl, h0, mat, o_del, e_del, o_ins,
     return out, aw
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def seed_extend_batch(qmax: int, tmax: int,
-                      ql_q: jnp.ndarray, ql_n: jnp.ndarray,
-                      tl_t: jnp.ndarray, tl_n: jnp.ndarray,
-                      qr_q: jnp.ndarray, qr_n: jnp.ndarray,
-                      tr_t: jnp.ndarray, tr_n: jnp.ndarray,
-                      h0: jnp.ndarray, mat: jnp.ndarray,
-                      o_del: jnp.ndarray, e_del: jnp.ndarray,
-                      o_ins: jnp.ndarray, e_ins: jnp.ndarray,
-                      w: jnp.ndarray, pen_clip5: jnp.ndarray,
-                      pen_clip3: jnp.ndarray, zdrop: jnp.ndarray
-                      ) -> tuple[jnp.ndarray, ...]:
-    """Batched coupled seed extension.
-
-    ql_*/tl_*: reversed left query/target ([B, qmax]/[B, tmax] + lengths;
-    length 0 = no left extension). qr_*/tr_*: right query/target.
-    h0: seed_len * a. Returns
-      (lscore, lqle, ltle, lgtle, lgscore, aw0,
-       rscore, rqle, rtle, rgtle, rgscore, aw1)
-    where lanes without a left extension report lscore = h0, aw0 = w (the
-    host then applies bwamem.c:714-779 coordinate logic)."""
+def _coupled(qmax: int, tmax: int,
+             ql_q, ql_n, tl_t, tl_n, qr_q, qr_n, tr_t, tr_n,
+             h0, mat, o_del, e_del, o_ins, e_ins, w, pen_clip5,
+             pen_clip3, zdrop) -> tuple[jnp.ndarray, ...]:
+    """Traceable coupled left+right extension core (see seed_extend_batch)."""
     lres, aw0 = _two_tries(qmax, tmax, ql_q, ql_n, tl_t, tl_n, h0, mat,
                            o_del, e_del, o_ins, e_ins, w, pen_clip5, zdrop,
                            jnp.full_like(h0, -1))
@@ -81,6 +65,155 @@ def seed_extend_batch(qmax: int, tmax: int,
     aw1 = jnp.where(has_right, aw1, jnp.broadcast_to(w, aw1.shape))
     return (lscore, lres[1], lres[2], lres[3], lres[4], aw0,
             rscore, rres[1], rres[2], rres[3], rres[4], aw1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def seed_extend_batch(qmax: int, tmax: int,
+                      ql_q: jnp.ndarray, ql_n: jnp.ndarray,
+                      tl_t: jnp.ndarray, tl_n: jnp.ndarray,
+                      qr_q: jnp.ndarray, qr_n: jnp.ndarray,
+                      tr_t: jnp.ndarray, tr_n: jnp.ndarray,
+                      h0: jnp.ndarray, mat: jnp.ndarray,
+                      o_del: jnp.ndarray, e_del: jnp.ndarray,
+                      o_ins: jnp.ndarray, e_ins: jnp.ndarray,
+                      w: jnp.ndarray, pen_clip5: jnp.ndarray,
+                      pen_clip3: jnp.ndarray, zdrop: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, ...]:
+    """Batched coupled seed extension from materialized arrays.
+
+    ql_*/tl_*: reversed left query/target ([B, qmax]/[B, tmax] + lengths;
+    length 0 = no left extension). qr_*/tr_*: right query/target.
+    h0: seed_len * a. Returns
+      (lscore, lqle, ltle, lgtle, lgscore, aw0,
+       rscore, rqle, rtle, rgtle, rgscore, aw1)
+    where lanes without a left extension report lscore = h0, aw0 = w (the
+    host then applies bwamem.c:714-779 coordinate logic)."""
+    return _coupled(qmax, tmax, ql_q, ql_n, tl_t, tl_n, qr_q, qr_n,
+                    tr_t, tr_n, h0, mat, o_del, e_del, o_ins, e_ins, w,
+                    pen_clip5, pen_clip3, zdrop)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
+                           dfm, reads: jnp.ndarray,
+                           read_idx: jnp.ndarray, qbeg: jnp.ndarray,
+                           slen: jnp.ndarray, l_query: jnp.ndarray,
+                           rbeg: jnp.ndarray, rmax0: jnp.ndarray,
+                           rmax1: jnp.ndarray, h0: jnp.ndarray,
+                           mat: jnp.ndarray,
+                           o_del, e_del, o_ins, e_ins, w, pen_clip5,
+                           pen_clip3, zdrop) -> tuple[jnp.ndarray, ...]:
+    """Coupled seed extension from task DESCRIPTORS: query and reference
+    windows are assembled on device from the resident read batch and the
+    packed reference (DeviceFM.pac_words) via flat 1-D gathers, so a wave
+    transfers ~100 bytes/task instead of ~5 KB/task. This is the analog of
+    the reference's one-time pac upload + per-task index packing
+    (/root/reference/src/fpga/BWAOCLEnv.h:67-114, SWTask), improved: the
+    windows never leave the device.
+
+    reads: int32[B_reads, L_reads] (0..4, the seeding batch); descriptors
+    are int32 except rbeg/rmax0/rmax1 (int64 fw-rev coords, window already
+    clipped to one strand/contig by the generator)."""
+    from .fm_jax import pac_sym_batch
+
+    T = read_idx.shape[0]
+    i32 = jnp.int32
+    jq = jnp.arange(qmax, dtype=i32)[None, :]
+    jt = jnp.arange(tmax, dtype=i32)[None, :]
+    reads_flat = reads.reshape(-1)
+
+    def read_gather(pos):
+        """reads[read_idx[t], pos[t, j]] via flat 1-D gather."""
+        idx = (read_idx[:, None] * L_reads
+               + jnp.clip(pos, 0, L_reads - 1)).reshape(-1)
+        return reads_flat[idx].reshape(T, -1)
+
+    # left: query[qbeg-1-j], target pac[rbeg-1-j], lengths qbeg / rbeg-rmax0
+    ql_n = qbeg
+    ql_q = read_gather(qbeg[:, None] - 1 - jq)
+    ql_q = jnp.where(jq < ql_n[:, None], ql_q, 0)
+    tl_n = (rbeg - rmax0).astype(i32)
+    lt_pos = rbeg[:, None] - 1 - jt.astype(jnp.int64)
+    tl_t = pac_sym_batch(dfm, lt_pos.reshape(-1)).reshape(T, tmax)
+    tl_t = jnp.where(jt < tl_n[:, None], tl_t, 0)
+    # right: query[qe+j], target pac[rbeg+slen+j]
+    qe = qbeg + slen
+    qr_n = jnp.maximum(l_query - qe, 0)
+    qr_q = read_gather(qe[:, None] + jq)
+    qr_q = jnp.where(jq < qr_n[:, None], qr_q, 0)
+    re_abs = rbeg + slen.astype(jnp.int64)
+    tr_n = jnp.clip(rmax1 - re_abs, 0, tmax).astype(i32)
+    rt_pos = re_abs[:, None] + jt.astype(jnp.int64)
+    tr_t = pac_sym_batch(dfm, rt_pos.reshape(-1)).reshape(T, tmax)
+    tr_t = jnp.where(jt < tr_n[:, None], tr_t, 0)
+
+    return _coupled(qmax, tmax, ql_q, ql_n, tl_t, tl_n, qr_q, qr_n,
+                    tr_t, tr_n, h0, mat, o_del, e_del, o_ins, e_ins, w,
+                    pen_clip5, pen_clip3, zdrop)
+
+
+class DescTaskBuffer:
+    """Descriptor-only task buffer: ~100 bytes/task crosses the host-device
+    boundary; windows assemble on device (seed_extend_desc_batch)."""
+
+    def __init__(self, cap: int, qmax: int, tmax: int):
+        self.cap, self.qmax, self.tmax = cap, qmax, tmax
+        self.read_idx = np.zeros(cap, np.int32)
+        self.qbeg = np.zeros(cap, np.int32)
+        self.slen = np.zeros(cap, np.int32)
+        self.l_query = np.zeros(cap, np.int32)
+        self.rbeg = np.zeros(cap, np.int64)
+        self.rmax0 = np.zeros(cap, np.int64)
+        self.rmax1 = np.zeros(cap, np.int64)
+        self.h0 = np.ones(cap, np.int32)
+        self.n = 0
+
+    def reset(self):
+        self.n = 0
+        self.qbeg[:] = 0
+        self.slen[:] = 0
+        self.l_query[:] = 0
+        self.rbeg[:] = 0
+        self.rmax0[:] = 0
+        self.rmax1[:] = 0
+        self.h0[:] = 1
+
+    def add(self, task, read_idx: int) -> int:
+        """Returns the slot, or -1 when the task exceeds device shapes or
+        its read is not device-resident (host fallback)."""
+        d = task
+        if (read_idx < 0 or self.n >= self.cap
+                or d.qbeg > self.qmax
+                or d.l_query - (d.qbeg + d.slen) > self.qmax
+                or d.rbeg - d.rmax0 > self.tmax
+                or d.rmax1 - (d.rbeg + d.slen) > self.tmax):
+            return -1
+        i = self.n
+        self.read_idx[i] = read_idx
+        self.qbeg[i] = d.qbeg
+        self.slen[i] = d.slen
+        self.l_query[i] = d.l_query
+        self.rbeg[i] = d.rbeg
+        self.rmax0[i] = d.rmax0
+        self.rmax1[i] = d.rmax1
+        self.h0[i] = d.h0
+        self.n += 1
+        return i
+
+    def run(self, opt, dfm, reads_dev, L_reads: int) -> tuple[np.ndarray, ...]:
+        import jax.numpy as jnp
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+        out = seed_extend_desc_batch(
+            self.qmax, self.tmax, L_reads, dfm, reads_dev,
+            jnp.asarray(self.read_idx), jnp.asarray(self.qbeg),
+            jnp.asarray(self.slen), jnp.asarray(self.l_query),
+            jnp.asarray(self.rbeg), jnp.asarray(self.rmax0),
+            jnp.asarray(self.rmax1), jnp.asarray(self.h0),
+            jnp.asarray(opt.mat[:5, :5], dtype=jnp.int32),
+            i32(opt.o_del), i32(opt.e_del), i32(opt.o_ins), i32(opt.e_ins),
+            i32(opt.w), i32(opt.pen_clip5), i32(opt.pen_clip3),
+            i32(opt.zdrop))
+        return tuple(np.asarray(o) for o in out)
 
 
 class SeedExtendTaskBuffer:

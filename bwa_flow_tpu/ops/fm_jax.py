@@ -36,7 +36,12 @@ class DeviceFM(NamedTuple):
 
     Mirrors FMIndex (index/fmindex.py) but jit-traceable. `seq_len`,
     `primary` are 0-d int64; `L2` is int64[5]; `fm_blocks` int32[n_blocks,8];
-    `sa` int64[n_sa]; `sa_intv` 0-d int32 (power of two).
+    `sa` int64[n_sa]; `sa_intv` 0-d int32 (power of two). `pac_words`
+    packs the forward-strand 2-bit reference 16 symbols per int32 (byte
+    order preserved: byte b of word w = pac[4w+b]) — the per-device
+    reference upload of the reference design
+    (/root/reference/src/fpga/BWAOCLEnv.h:67-114), used for on-device
+    extension-window assembly. `l_pac` is 0-d int64.
     """
 
     seq_len: jnp.ndarray
@@ -45,9 +50,24 @@ class DeviceFM(NamedTuple):
     fm_blocks: jnp.ndarray
     sa_intv: jnp.ndarray
     sa: jnp.ndarray
+    pac_words: jnp.ndarray
+    l_pac: jnp.ndarray
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceFM":
+        if fm.bns is not None:
+            pac = fm.bns.pac
+            n_words = (len(pac) + 3) // 4
+            padded = np.zeros(n_words * 4, dtype=np.uint8)
+            padded[:len(pac)] = pac
+            pw = padded.reshape(-1, 4).astype(np.uint32)
+            pac_words = (pw[:, 0] | (pw[:, 1] << 8) | (pw[:, 2] << 16)
+                         | (pw[:, 3] << 24)).astype(np.int64).astype(
+                             np.uint32)
+            l_pac = fm.bns.l_pac
+        else:
+            pac_words = np.zeros(1, dtype=np.uint32)
+            l_pac = 0
         return cls(
             seq_len=jnp.asarray(fm.seq_len, dtype=jnp.int64),
             primary=jnp.asarray(fm.primary, dtype=jnp.int64),
@@ -55,7 +75,26 @@ class DeviceFM(NamedTuple):
             fm_blocks=jnp.asarray(fm.fm_blocks, dtype=jnp.int32),
             sa_intv=jnp.asarray(fm.sa_intv, dtype=jnp.int32),
             sa=jnp.asarray(fm.sa, dtype=jnp.int64),
+            pac_words=jnp.asarray(pac_words.view(np.int32)),
+            l_pac=jnp.asarray(l_pac, dtype=jnp.int64),
         )
+
+
+def pac_sym_batch(dfm: DeviceFM, pos: jnp.ndarray) -> jnp.ndarray:
+    """Reference base at forward-reverse coordinate pos (int64[...]) ->
+    int32[...] in [0, 3]. Positions >= l_pac read the reverse-complement
+    strand (bwa/bntseq.c get_seq semantics); out-of-range positions are
+    clamped (callers mask)."""
+    two_l = dfm.l_pac * 2
+    posc = jnp.clip(pos, 0, two_l - 1)
+    is_rev = posc >= dfm.l_pac
+    fpos = jnp.where(is_rev, two_l - 1 - posc, posc)
+    word = dfm.pac_words[(fpos >> 4).astype(jnp.int32)]
+    uw = jax.lax.bitcast_convert_type(word, jnp.uint32)
+    byte = (uw >> (8 * ((fpos >> 2) & 3)).astype(jnp.uint32)) & 0xFF
+    sym = ((byte >> (6 - 2 * (fpos & 3)).astype(jnp.uint32)) & 3
+           ).astype(jnp.int32)
+    return jnp.where(is_rev, 3 - sym, sym)
 
 
 _PAIR_MASK = np.uint32(0x55555555)

@@ -85,13 +85,23 @@ def default_extend(opt: MemOpt, qs: np.ndarray, rs: np.ndarray, w: int,
 @dataclasses.dataclass
 class SeedExtTask:
     """One coupled seed-extension task (one chain seed): the unit the device
-    kernel (ops/chain2aln_jax.py) processes. Left sequences are reversed."""
+    kernel (ops/chain2aln_jax.py) processes. Left sequences are reversed.
+
+    The array fields serve the host fallback path; the scalar descriptor
+    fields (qbeg/slen/l_query/rbeg/rmax0/rmax1) let the device kernel
+    assemble the same windows from resident read+reference data."""
 
     q_left: np.ndarray
     t_left: np.ndarray
     q_right: np.ndarray
     t_right: np.ndarray
     h0: int
+    qbeg: int = 0
+    slen: int = 0
+    l_query: int = 0
+    rbeg: int = 0
+    rmax0: int = 0
+    rmax1: int = 0
 
 
 _EMPTY = np.empty(0, dtype=np.uint8)
@@ -229,7 +239,9 @@ def chain2aln_tasks(opt: MemOpt, fm: FMIndex, l_query: int,
 
         (lscore, lqle, ltle, lgtle, lgscore, aw0,
          rscore, rqle, rtle, rgtle, rgscore, aw1) = yield SeedExtTask(
-            qs_l, rs_l, qs_r, rs_r, s.len * opt.a)
+            qs_l, rs_l, qs_r, rs_r, s.len * opt.a,
+            qbeg=s.qbeg, slen=s.len, l_query=l_query, rbeg=s.rbeg,
+            rmax0=rmax0, rmax1=rmax1)
 
         a = AlnReg()
         a.rid = c.rid

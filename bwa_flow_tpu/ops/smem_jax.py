@@ -383,19 +383,10 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     return mems, n_mem, ovf
 
 
-def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
-                       reads: list[np.ndarray], L: int = 256,
-                       MAXB: int = 64, MAXM: int = 128,
-                       iters_factor: int = 16
-                       ) -> list[list[smem_golden.Intv]]:
-    # NB: shrinking MAXB/MAXM below 64/128 measured *slower* on v5e (the
-    # slot axis maps to vector lanes; 128 tiles cleanly), so the budget
-    # defaults stay at the reference's FPGA task shape (SMemTask.cpp:26-28).
-    """Host wrapper: pad reads to [B, L], run the device machine, unpack to
-    Intv lists; reads that overflowed any budget are redone with the golden
-    implementation (reference redo pattern, FPGAPipeline.cpp:706-714)."""
-    # pad the batch to a power-of-two bucket: one compiled program per
-    # (L, bucket) pair regardless of incoming read counts
+def pad_reads(reads: list[np.ndarray], L: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Pad reads to a [B, L] int32 batch (pad symbol 4), B a power-of-two
+    bucket so read counts share compiled programs."""
     B = 64
     while B < len(reads):
         B <<= 1
@@ -405,15 +396,40 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
         n = min(len(r), L)
         q[b, :n] = r[:n]
         qlen[b] = n
+    return q, qlen
+
+
+def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
+                       reads: list[np.ndarray], L: int = 256,
+                       MAXB: int = 64, MAXM: int = 128,
+                       iters_factor: int = 16, padded=None
+                       ) -> list[list[smem_golden.Intv]]:
+    # NB: shrinking MAXB/MAXM below 64/128 measured *slower* on v5e (the
+    # slot axis maps to vector lanes; 128 tiles cleanly), so the budget
+    # defaults stay at the reference's FPGA task shape (SMemTask.cpp:26-28).
+    """Host wrapper: pad reads to [B, L], run the device machine, unpack to
+    Intv lists; reads that overflowed any budget are redone with the golden
+    implementation (reference redo pattern, FPGAPipeline.cpp:706-714)."""
+    if padded is not None:
+        q, qlen = padded
+    else:
+        q, qlen = pad_reads(reads, L)
     mems, n_mem, ovf = collect_intv_device(
         dfm, L, MAXB, MAXM, L * iters_factor,
         jnp.asarray(q), jnp.asarray(qlen),
         jnp.asarray(opt.min_seed_len, I32), jnp.asarray(opt.split_len, I32),
         jnp.asarray(opt.split_width, I32),
         jnp.asarray(opt.max_mem_intv, I64))
-    mems = np.asarray(mems)
     n_mem = np.asarray(n_mem)
     ovf = np.asarray(ovf)
+    # transfer only the used slot prefix (the full [B, 4, MAXM] int64
+    # buffer is tens of MB; typical reads use < 32 slots)
+    used = int(n_mem.max()) if len(n_mem) else 0
+    width = 8
+    while width < used:
+        width <<= 1
+    width = min(width, MAXM)
+    mems = np.asarray(mems[:, :, :width])
     out = []
     Intv = smem_golden.Intv
     for b, r in enumerate(reads):

@@ -33,7 +33,7 @@ from ..ops import chain as chainops
 from ..ops import fm as fmops
 from ..ops import region as regionops
 from ..ops import smem_jax
-from ..ops.chain2aln_jax import SeedExtendTaskBuffer
+from ..ops.chain2aln_jax import DescTaskBuffer
 from ..ops.fm_jax import DeviceFM, sa_batch
 from ..utils.opts import MEM_F_PRIMARY5, MemOpt
 
@@ -58,7 +58,9 @@ class BatchAligner:
         self.dfm = DeviceFM.from_host(fm)
         self.smem_L = smem_L
         self.sa_chunk = sa_chunk
-        self.buf = SeedExtendTaskBuffer(wave_cap, qmax, tmax)
+        self.buf = DescTaskBuffer(wave_cap, qmax, tmax)
+        self._dev_reads = None
+        self._dev_reads_n = 0
         # failure detection / graceful degradation (the reference's FPGA
         # result-validation + setUseAccx(false) pattern,
         # /root/reference/src/fpga/FPGAPipeline.cpp:29-130,526-551):
@@ -113,10 +115,19 @@ class BatchAligner:
 
     # ------------------------------------------------------------------
     def collect_seeds(self, seqs: list[np.ndarray]):
-        """Stage 1: device SMEM seeding (long reads fall back inside)."""
+        """Stage 1: device SMEM seeding (long reads fall back inside).
+        The padded read batch stays device-resident for the extension
+        stage (descriptor-only waves)."""
+        import jax.numpy as jnp
         self.stats["reads"] += len(seqs)
+        q, qlen = smem_jax.pad_reads(seqs, self.smem_L)
+        q_dev = jnp.asarray(q)
+        self._dev_reads = q_dev
+        self._dev_reads_n = len(seqs)
         return smem_jax.collect_intv_batch(self.opt, self.fm, self.dfm,
-                                           seqs, L=self.smem_L)
+                                           seqs, L=self.smem_L,
+                                           padded=(q_dev,
+                                                   jnp.asarray(qlen)))
 
     def chain_reads(self, seqs, all_intvs, luts):
         """Stage 3: host chaining (exact bwa semantics)."""
@@ -216,6 +227,14 @@ class BatchAligner:
                 gens[ridx] = g
                 pending[ridx] = t
 
+        def dev_idx(ridx):
+            """Device read index for descriptor tasks; -1 when the read was
+            not device-seeded (too long for the smem_L bucket)."""
+            if (self._dev_reads is None or ridx >= self._dev_reads_n
+                    or len(seqs[ridx]) > self.smem_L):
+                return -1
+            return ridx
+
         def advance(ridx, result):
             """Feed a result; pull the next device-sized task (running
             oversized ones on host inline). Returns False when done."""
@@ -228,10 +247,7 @@ class BatchAligner:
                     del gens[ridx]
                     del pending[ridx]
                     return False
-                if (len(t.q_left) <= self.buf.qmax
-                        and len(t.q_right) <= self.buf.qmax
-                        and len(t.t_left) <= self.buf.tmax
-                        and len(t.t_right) <= self.buf.tmax):
+                if self._fits(t, dev_idx(ridx)):
                     pending[ridx] = t
                     return True
                 self.stats["ext_tasks_host"] += 1
@@ -240,10 +256,7 @@ class BatchAligner:
         # bootstrap: oversized first tasks
         for ridx in list(pending):
             t = pending[ridx]
-            if (len(t.q_left) > self.buf.qmax
-                    or len(t.q_right) > self.buf.qmax
-                    or len(t.t_left) > self.buf.tmax
-                    or len(t.t_right) > self.buf.tmax):
+            if not self._fits(t, dev_idx(ridx)):
                 self.stats["ext_tasks_host"] += 1
                 advance(ridx, regionops.run_task_host(opt, t))
 
@@ -251,18 +264,26 @@ class BatchAligner:
             self.buf.reset()
             slots = []
             for ridx, t in pending.items():
-                i = self.buf.add(t.q_left, t.t_left, t.q_right, t.t_right,
-                                 t.h0)
+                i = self.buf.add(t, dev_idx(ridx))
                 if i < 0:
                     break  # buffer full: next wave picks the rest up
                 slots.append(ridx)
-            out = self.buf.run(opt)
+            out = self.buf.run(opt, self.dfm, self._dev_reads, self.smem_L)
             self.stats["waves"] += 1
             self.stats["ext_tasks_device"] += len(slots)
             for i, ridx in enumerate(slots):
                 advance(ridx, tuple(int(o[i]) for o in out))
 
         return all_regs
+
+    def _fits(self, t, read_idx: int) -> bool:
+        """Device-shape check for a descriptor task (packReadData's
+        oversize filter analog)."""
+        return (read_idx >= 0
+                and t.qbeg <= self.buf.qmax
+                and t.l_query - (t.qbeg + t.slen) <= self.buf.qmax
+                and t.rbeg - t.rmax0 <= self.buf.tmax
+                and t.rmax1 - (t.rbeg + t.slen) <= self.buf.tmax)
 
     # ------------------------------------------------------------------
     def align_se(self, reads: list[Read], n_processed: int = 0,
