@@ -95,14 +95,10 @@ def seed_extend_batch(qmax: int, tmax: int,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
-                           dfm, reads: jnp.ndarray,
-                           read_idx: jnp.ndarray, qbeg: jnp.ndarray,
-                           slen: jnp.ndarray, l_query: jnp.ndarray,
-                           rbeg: jnp.ndarray, rmax0: jnp.ndarray,
-                           rmax1: jnp.ndarray, h0: jnp.ndarray,
+                           dfm, reads: jnp.ndarray, desc: jnp.ndarray,
                            mat: jnp.ndarray,
                            o_del, e_del, o_ins, e_ins, w, pen_clip5,
-                           pen_clip3, zdrop) -> tuple[jnp.ndarray, ...]:
+                           pen_clip3, zdrop) -> jnp.ndarray:
     """Coupled seed extension from task DESCRIPTORS: query and reference
     windows are assembled on device from the resident read batch and the
     packed reference (DeviceFM.pac_words) via flat 1-D gathers, so a wave
@@ -111,13 +107,21 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     (/root/reference/src/fpga/BWAOCLEnv.h:67-114, SWTask), improved: the
     windows never leave the device.
 
-    reads: int32[B_reads, L_reads] (0..4, the seeding batch); descriptors
-    are int32 except rbeg/rmax0/rmax1 (int64 fw-rev coords, window already
-    clipped to one strand/contig by the generator)."""
+    reads: int32[B_reads, L_reads] (0..4, the seeding batch); desc is ONE
+    int64[8, T] array (read_idx, qbeg, slen, l_query, rbeg, rmax0, rmax1,
+    h0 rows — a single host->device transfer per wave; the device tunnel
+    charges per-transfer latency). Windows are already clipped to one
+    strand/contig by the generator. Returns int32[12, T] (one transfer)."""
     from .fm_jax import pac_sym_batch
 
-    T = read_idx.shape[0]
+    T = desc.shape[1]
     i32 = jnp.int32
+    read_idx = desc[0].astype(i32)
+    qbeg = desc[1].astype(i32)
+    slen = desc[2].astype(i32)
+    l_query = desc[3].astype(i32)
+    rbeg, rmax0, rmax1 = desc[4], desc[5], desc[6]
+    h0 = desc[7].astype(i32)
     jq = jnp.arange(qmax, dtype=i32)[None, :]
     jt = jnp.arange(tmax, dtype=i32)[None, :]
     reads_flat = reads.reshape(-1)
@@ -147,9 +151,10 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     tr_t = pac_sym_batch(dfm, rt_pos.reshape(-1)).reshape(T, tmax)
     tr_t = jnp.where(jt < tr_n[:, None], tr_t, 0)
 
-    return _coupled(qmax, tmax, ql_q, ql_n, tl_t, tl_n, qr_q, qr_n,
-                    tr_t, tr_n, h0, mat, o_del, e_del, o_ins, e_ins, w,
-                    pen_clip5, pen_clip3, zdrop)
+    out = _coupled(qmax, tmax, ql_q, ql_n, tl_t, tl_n, qr_q, qr_n,
+                   tr_t, tr_n, h0, mat, o_del, e_del, o_ins, e_ins, w,
+                   pen_clip5, pen_clip3, zdrop)
+    return jnp.stack([o.astype(i32) for o in out])
 
 
 class DescTaskBuffer:
@@ -158,25 +163,14 @@ class DescTaskBuffer:
 
     def __init__(self, cap: int, qmax: int, tmax: int):
         self.cap, self.qmax, self.tmax = cap, qmax, tmax
-        self.read_idx = np.zeros(cap, np.int32)
-        self.qbeg = np.zeros(cap, np.int32)
-        self.slen = np.zeros(cap, np.int32)
-        self.l_query = np.zeros(cap, np.int32)
-        self.rbeg = np.zeros(cap, np.int64)
-        self.rmax0 = np.zeros(cap, np.int64)
-        self.rmax1 = np.zeros(cap, np.int64)
-        self.h0 = np.ones(cap, np.int32)
+        self.desc = np.zeros((8, cap), np.int64)
+        self.desc[7] = 1  # h0 must stay positive for padding lanes
         self.n = 0
 
     def reset(self):
         self.n = 0
-        self.qbeg[:] = 0
-        self.slen[:] = 0
-        self.l_query[:] = 0
-        self.rbeg[:] = 0
-        self.rmax0[:] = 0
-        self.rmax1[:] = 0
-        self.h0[:] = 1
+        self.desc[:] = 0
+        self.desc[7] = 1
 
     def add(self, task, read_idx: int) -> int:
         """Returns the slot, or -1 when the task exceeds device shapes or
@@ -189,31 +183,31 @@ class DescTaskBuffer:
                 or d.rmax1 - (d.rbeg + d.slen) > self.tmax):
             return -1
         i = self.n
-        self.read_idx[i] = read_idx
-        self.qbeg[i] = d.qbeg
-        self.slen[i] = d.slen
-        self.l_query[i] = d.l_query
-        self.rbeg[i] = d.rbeg
-        self.rmax0[i] = d.rmax0
-        self.rmax1[i] = d.rmax1
-        self.h0[i] = d.h0
+        self.desc[:, i] = (read_idx, d.qbeg, d.slen, d.l_query, d.rbeg,
+                           d.rmax0, d.rmax1, d.h0)
         self.n += 1
         return i
 
-    def run(self, opt, dfm, reads_dev, L_reads: int) -> tuple[np.ndarray, ...]:
+    def _params(self, opt):
+        """Device-cached scoring constants (uploaded once, not per wave —
+        every host->device transfer pays tunnel latency)."""
+        if getattr(self, "_params_cache", None) is None:
+            import jax.numpy as jnp
+            i32 = lambda v: jnp.asarray(v, jnp.int32)
+            self._params_cache = (
+                jnp.asarray(opt.mat[:5, :5], dtype=jnp.int32),
+                i32(opt.o_del), i32(opt.e_del), i32(opt.o_ins),
+                i32(opt.e_ins), i32(opt.w), i32(opt.pen_clip5),
+                i32(opt.pen_clip3), i32(opt.zdrop))
+        return self._params_cache
+
+    def run(self, opt, dfm, reads_dev, L_reads: int) -> np.ndarray:
+        """Returns int32[12, n_slots]: one transfer each way per wave."""
         import jax.numpy as jnp
-        i32 = lambda v: jnp.asarray(v, jnp.int32)
         out = seed_extend_desc_batch(
             self.qmax, self.tmax, L_reads, dfm, reads_dev,
-            jnp.asarray(self.read_idx), jnp.asarray(self.qbeg),
-            jnp.asarray(self.slen), jnp.asarray(self.l_query),
-            jnp.asarray(self.rbeg), jnp.asarray(self.rmax0),
-            jnp.asarray(self.rmax1), jnp.asarray(self.h0),
-            jnp.asarray(opt.mat[:5, :5], dtype=jnp.int32),
-            i32(opt.o_del), i32(opt.e_del), i32(opt.o_ins), i32(opt.e_ins),
-            i32(opt.w), i32(opt.pen_clip5), i32(opt.pen_clip3),
-            i32(opt.zdrop))
-        return tuple(np.asarray(o) for o in out)
+            jnp.asarray(self.desc), *self._params(opt))
+        return np.asarray(out)
 
 
 class SeedExtendTaskBuffer:

@@ -244,6 +244,15 @@ def _inv_psi_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
+def sa_batch_packed(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
+                    ) -> jnp.ndarray:
+    """sa_batch with both outputs stacked into one int64[2, B] array —
+    a single device->host transfer (the tunnel charges per transfer)."""
+    sa, ovf = sa_batch(dfm, k, max_iters)
+    return jnp.stack([sa, ovf.astype(jnp.int64)])
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
 def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
              ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Suffix-array values via batched LF-walk (bwa/bwt.c:86-96).

@@ -383,6 +383,14 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     return mems, n_mem, ovf
 
 
+_OPT_CACHE: dict = {}
+
+
+@jax.jit
+def _pack_meta(n_mem, ovf):
+    return jnp.stack([n_mem.astype(I32), ovf.astype(I32)])
+
+
 def pad_reads(reads: list[np.ndarray], L: int
               ) -> tuple[np.ndarray, np.ndarray]:
     """Pad reads to a [B, L] int32 batch (pad symbol 4), B a power-of-two
@@ -414,14 +422,21 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
         q, qlen = padded
     else:
         q, qlen = pad_reads(reads, L)
+    key = (id(opt), opt.min_seed_len, opt.split_len, opt.split_width,
+           opt.max_mem_intv)
+    params = _OPT_CACHE.get(key)
+    if params is None:
+        params = (jnp.asarray(opt.min_seed_len, I32),
+                  jnp.asarray(opt.split_len, I32),
+                  jnp.asarray(opt.split_width, I32),
+                  jnp.asarray(opt.max_mem_intv, I64))
+        _OPT_CACHE[key] = params
     mems, n_mem, ovf = collect_intv_device(
         dfm, L, MAXB, MAXM, L * iters_factor,
-        jnp.asarray(q), jnp.asarray(qlen),
-        jnp.asarray(opt.min_seed_len, I32), jnp.asarray(opt.split_len, I32),
-        jnp.asarray(opt.split_width, I32),
-        jnp.asarray(opt.max_mem_intv, I64))
-    n_mem = np.asarray(n_mem)
-    ovf = np.asarray(ovf)
+        jnp.asarray(q), jnp.asarray(qlen), *params)
+    meta = np.asarray(_pack_meta(n_mem, ovf))  # one transfer for both
+    n_mem = meta[0]
+    ovf = meta[1] != 0
     # transfer only the used slot prefix (the full [B, 4, MAXM] int64
     # buffer is tens of MB; typical reads use < 32 slots)
     used = int(n_mem.max()) if len(n_mem) else 0

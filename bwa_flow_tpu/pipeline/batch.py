@@ -34,7 +34,7 @@ from ..ops import fm as fmops
 from ..ops import region as regionops
 from ..ops import smem_jax
 from ..ops.chain2aln_jax import DescTaskBuffer
-from ..ops.fm_jax import DeviceFM, sa_batch
+from ..ops.fm_jax import DeviceFM, sa_batch_packed
 from ..utils.opts import MEM_F_PRIMARY5, MemOpt
 
 
@@ -51,7 +51,7 @@ class BatchAligner:
 
     def __init__(self, opt: MemOpt, fm: FMIndex, smem_L: int = 160,
                  wave_cap: int = 512, qmax: int = 160, tmax: int = 512,
-                 sa_chunk: int = 8192, validate_every: int = 0,
+                 sa_chunk: int = 65536, validate_every: int = 0,
                  validate_sample: int = 2):
         self.opt = opt
         self.fm = fm
@@ -99,12 +99,15 @@ class BatchAligner:
         rows = np.asarray(rows, dtype=np.int64)
         for off in range(0, len(rows), self.sa_chunk):
             chunk = rows[off:off + self.sa_chunk]
-            # fixed chunk shape: one compiled program for every batch
-            pad = np.zeros(self.sa_chunk, dtype=np.int64)
+            # pow2 buckets: few compiled variants, one transfer each way
+            width = 4096
+            while width < len(chunk):
+                width <<= 1
+            pad = np.zeros(width, dtype=np.int64)
             pad[:len(chunk)] = chunk
-            vals, ovf = sa_batch(self.dfm, pad)
-            vals = np.array(vals[:len(chunk)])  # writable: ovf redo below
-            ovf = np.asarray(ovf[:len(chunk)])
+            packed = np.asarray(sa_batch_packed(self.dfm, pad))
+            vals = packed[0, :len(chunk)].copy()  # writable: ovf redo below
+            ovf = packed[1, :len(chunk)] != 0
             for j in np.nonzero(ovf)[0]:
                 vals[j] = fmops.bwt_sa(self.fm, int(chunk[j]))
                 self.stats["sa_host_redo"] += 1
@@ -260,19 +263,25 @@ class BatchAligner:
                 self.stats["ext_tasks_host"] += 1
                 advance(ridx, regionops.run_task_host(opt, t))
 
+        from ..utils.trace import GLOBAL as tracer
         while pending:
-            self.buf.reset()
-            slots = []
-            for ridx, t in pending.items():
-                i = self.buf.add(t, dev_idx(ridx))
-                if i < 0:
-                    break  # buffer full: next wave picks the rest up
-                slots.append(ridx)
-            out = self.buf.run(opt, self.dfm, self._dev_reads, self.smem_L)
+            with tracer.span("wave.pack"):
+                self.buf.reset()
+                slots = []
+                for ridx, t in pending.items():
+                    i = self.buf.add(t, dev_idx(ridx))
+                    if i < 0:
+                        break  # buffer full: next wave picks the rest up
+                    slots.append(ridx)
+            with tracer.span("wave.device"):
+                out = self.buf.run(opt, self.dfm, self._dev_reads,
+                                   self.smem_L)
             self.stats["waves"] += 1
             self.stats["ext_tasks_device"] += len(slots)
-            for i, ridx in enumerate(slots):
-                advance(ridx, tuple(int(o[i]) for o in out))
+            with tracer.span("wave.apply"):
+                rows = out.T.tolist()  # [12, T] -> per-task 12-tuples
+                for i, ridx in enumerate(slots):
+                    advance(ridx, rows[i])
 
         return all_regs
 
