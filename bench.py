@@ -47,7 +47,7 @@ B_EXT = 2048
 QMAX, TMAX = 160, 320
 B_SMEM = 8192
 SMEM_L = 160
-N_E2E = 4096
+N_E2E = 8192
 
 CODE = np.full(256, 4, np.uint8)
 for _i, _c in enumerate(b"ACGT"):
@@ -159,18 +159,18 @@ def bench_e2e(rng, genome, fm, opt):
                           qual="I" * READ_LEN, id=i))
     n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
     pipe = AlignPipeline(opt, fm, paired=False, n_workers=n_workers,
-                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=2048,
+                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=4096,
                                          qmax=QMAX, tmax=TMAX + 192))
     done = []
     try:
         # warmup with the PRODUCTION batch size so all compiles precede
         # the timed region
-        pipe.run(iter([reads[:2048]]), done.extend)
+        pipe.run(iter([reads[:4096]]), done.extend)
         done.clear()
         from bwa_flow_tpu.utils.trace import GLOBAL as tr
         tr.totals.clear()
         tr.counts.clear()
-        batches = [reads[i:i + 2048] for i in range(0, N_E2E, 2048)]
+        batches = [reads[i:i + 4096] for i in range(0, N_E2E, 4096)]
         t0 = time.time()
         pipe.run(iter(batches), done.extend)
         dt = time.time() - t0
