@@ -118,7 +118,8 @@ class AlignPipeline:
     """Device + worker-pool aligner over a batch stream."""
 
     def __init__(self, opt: MemOpt, fm, paired: bool, n_workers: int = 0,
-                 rg_id: str = "", pes0=None, aligner_kw: dict | None = None):
+                 rg_id: str = "", pes0=None, aligner_kw: dict | None = None,
+                 mp_context: str = "fork"):
         self.opt = opt
         self.fm = fm
         self.paired = paired
@@ -128,7 +129,11 @@ class AlignPipeline:
         self.n_workers = n_workers
         self.pool = None
         if n_workers > 0:
-            ctx = mp.get_context("fork")
+            # "fork" shares the index by CoW and is the default; workers
+            # never touch JAX, but a JAX-threaded parent makes fork
+            # formally unsafe — pass mp_context="spawn" to pay a one-time
+            # index pickle per worker instead.
+            ctx = mp.get_context(mp_context)
             self.pool = ctx.Pool(n_workers, initializer=_init_worker,
                                  initargs=(opt, fm))
             _G["rg_id"] = rg_id
