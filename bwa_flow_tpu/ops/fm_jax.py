@@ -68,14 +68,31 @@ class DeviceFM(NamedTuple):
         else:
             pac_words = np.zeros(1, dtype=np.uint32)
             l_pac = 0
+
+        def bucket(arr, fill=0):
+            """Pad the leading dim to a power-of-two bucket: kernel shapes
+            then depend only on the bucket, so different genomes reuse
+            compiled programs (a fresh genome otherwise recompiles
+            everything — minutes through a remote-compile service)."""
+            n = arr.shape[0]
+            cap = 1024
+            while cap < n:
+                cap <<= 1
+            if cap == n:
+                return arr
+            out = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out[:n] = arr
+            return out
+
         return cls(
             seq_len=jnp.asarray(fm.seq_len, dtype=jnp.int64),
             primary=jnp.asarray(fm.primary, dtype=jnp.int64),
             L2=jnp.asarray(fm.L2, dtype=jnp.int64),
-            fm_blocks=jnp.asarray(fm.fm_blocks, dtype=jnp.int32),
+            fm_blocks=jnp.asarray(bucket(np.asarray(fm.fm_blocks)),
+                                  dtype=jnp.int32),
             sa_intv=jnp.asarray(fm.sa_intv, dtype=jnp.int32),
-            sa=jnp.asarray(fm.sa, dtype=jnp.int64),
-            pac_words=jnp.asarray(pac_words.view(np.int32)),
+            sa=jnp.asarray(bucket(np.asarray(fm.sa)), dtype=jnp.int64),
+            pac_words=jnp.asarray(bucket(pac_words).view(np.int32)),
             l_pac=jnp.asarray(l_pac, dtype=jnp.int64),
         )
 
