@@ -5,9 +5,10 @@ mem_flt_chained_seeds (bwa/bwamem.c:170-624) over the interval output of
 ops/smem.py. The reference keeps chains in a B-tree keyed by position
 (bwamem.c:190-193); here a bisect-maintained sorted list plays that role.
 
-NB: mem_chain_flt's weight sort uses an unstable introsort in the reference;
-ties between equal-weight chains keep tree order here (stable sort). This
-can only reorder outputs in exact-tie cases.
+mem_chain_flt's weight sort replicates the reference's ks_introsort
+permutation exactly (utils/ksort.py): which of several identical-weight
+repeat chains survives filtering — and hence the XS sub score — depends
+on how introsort reorders ties.
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ import math
 import numpy as np
 
 from ..index.fmindex import FMIndex
+from ..utils.ksort import ks_introsort
 from ..utils.opts import MemOpt
 from . import fm as fmops
 from . import ksw
@@ -172,7 +174,7 @@ def mem_chain_flt(opt: MemOpt, chains: list[Chain]) -> list[Chain]:
             a.append(c)
     if not a:
         return []
-    a.sort(key=lambda c: -c.w)  # stable on ties (see module docstring)
+    ks_introsort(a, lambda x, y: x.w > y.w)  # flt_lt (bwamem.c:333)
 
     def chn_beg(ch):
         return ch.seeds[0].qbeg

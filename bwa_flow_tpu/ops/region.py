@@ -18,6 +18,7 @@ import math
 import numpy as np
 
 from ..index.fmindex import FMIndex
+from ..utils.ksort import ks_introsort
 from ..utils.opts import MemOpt
 from . import ksw
 from .chain import Chain
@@ -339,7 +340,10 @@ def mem_sort_dedup_patch(opt: MemOpt, fm: FMIndex | None,
     n = len(regs)
     if n <= 1:
         return regs
-    a = sorted(regs, key=lambda p: p.re)  # sort by END position
+    a = list(regs)
+    # sort by the END position with the reference's exact tie permutation
+    # (alnreg_slt2 / ks_introsort, bwamem.c:400,450)
+    ks_introsort(a, lambda x, y: x.re < y.re)
     for p in a:
         p.n_comp = 1
     for i in range(1, n):
@@ -374,8 +378,11 @@ def mem_sort_dedup_patch(opt: MemOpt, fm: FMIndex | None,
                     p.w = w
                     q.qb = q.qe
     a = [p for p in a if p.qe > p.qb]
-    # sort by score desc, then rb, then qb (total order, mem_ars)
-    a.sort(key=lambda p: (-p.score, p.rb, p.qb))
+    # alnreg_slt (bwamem.c:403): score desc, rb, qb — not a total order
+    # (qe can differ on full ties), so introsort permutation matters
+    ks_introsort(a, lambda x, y: x.score > y.score or (
+        x.score == y.score and (x.rb < y.rb or
+                                (x.rb == y.rb and x.qb < y.qb))))
     for i in range(1, len(a)):
         if (a[i].score == a[i - 1].score and a[i].rb == a[i - 1].rb
                 and a[i].qb == a[i - 1].qb):
@@ -420,7 +427,11 @@ def mem_mark_primary_se(opt: MemOpt, a: list[AlnReg], rid_: int) -> int:
         p.hash = hash_64((rid_ + i) & ((1 << 64) - 1))
         if not p.is_alt:
             n_pri += 1
-    a.sort(key=lambda p: (-p.score, p.is_alt, p.hash))  # mem_ars_hash
+    # alnreg_hlt (bwamem.c:406); hash makes this a near-total order but
+    # keep the exact introsort permutation anyway
+    ks_introsort(a, lambda x, y: x.score > y.score or (
+        x.score == y.score and (x.is_alt < y.is_alt or
+                                (x.is_alt == y.is_alt and x.hash < y.hash))))
     _mark_primary_core(opt, a, n)
     for i, p in enumerate(a):
         p.secondary_all = i  # rank in the first round
@@ -428,7 +439,11 @@ def mem_mark_primary_se(opt: MemOpt, a: list[AlnReg], rid_: int) -> int:
             p.alt_sc = a[p.secondary].score
     if 0 <= n_pri < n:
         if n_pri > 0:
-            a.sort(key=lambda p: (p.is_alt, -p.score, p.hash))  # mem_ars_hash2
+            # alnreg_hlt2 (bwamem.c:409)
+            ks_introsort(a, lambda x, y: x.is_alt < y.is_alt or (
+                x.is_alt == y.is_alt and (
+                    x.score > y.score or
+                    (x.score == y.score and x.hash < y.hash))))
         z = [0] * n
         for i, p in enumerate(a):
             z[p.secondary_all] = i

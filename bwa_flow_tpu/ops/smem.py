@@ -17,6 +17,7 @@ import dataclasses
 import numpy as np
 
 from ..index.fmindex import FMIndex
+from ..utils.ksort import ks_introsort
 from ..utils.opts import MemOpt
 from . import fm as fmops
 
@@ -160,5 +161,7 @@ def collect_intv(opt: MemOpt, fm: FMIndex, q: np.ndarray) -> list[Intv]:
                     mems.append(m)
             else:
                 x += 1
-    mems.sort(key=lambda p: p.info)
+    # intv_lt / ks_introsort (bwamem.c:90,167): re-seeded intervals can
+    # duplicate a pass-1 info, so the introsort tie permutation matters
+    ks_introsort(mems, lambda x, y: x.info < y.info)
     return mems

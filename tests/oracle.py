@@ -1,0 +1,219 @@
+"""Real-bwa oracle support for acceptance tests.
+
+The reference's test strategy diffs against the genuine algorithm: its
+golden model *is* the vendored C code (test/src/TestCommon.h:51-136) and
+its acceptance suite diffs pipeline outputs (test/test.bats:49-55). This
+module builds the vendored bwa (/root/reference/bwa) into a scratch
+binary and exposes helpers so tests can assert byte-identical SAM against
+the real implementation rather than against this repo's own golden model.
+
+The build lands in .cache/oracle (gitignored); reference sources are
+copied only into that scratch dir, never committed.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REF_BWA_SRC = pathlib.Path("/root/reference/bwa")
+ORACLE_DIR = REPO / ".cache" / "oracle"
+ORACLE_BIN = ORACLE_DIR / "bwa"
+
+_STUB_SAM_H = (
+    "#ifndef STUB_HTSLIB_SAM_H\n"
+    "#define STUB_HTSLIB_SAM_H\n"
+    "typedef struct bam1_t bam1_t;\n"
+    "#endif\n"
+)
+
+
+def build_oracle() -> pathlib.Path | None:
+    """Build the vendored bwa into .cache/oracle/bwa; None if impossible.
+
+    The vendored tree's only htslib dependency is the ``bam1_t**`` member
+    patched into bseq1_t (bwa/bwa.h:33-46); a forward-declaration stub
+    satisfies it. -fcommon is needed for the pre-C17 tentative definition
+    of rle_auxtab (bwa/rle.h).
+    """
+    if ORACLE_BIN.exists():
+        return ORACLE_BIN
+    if not REF_BWA_SRC.is_dir() or shutil.which("gcc") is None:
+        return None
+    src = ORACLE_DIR / "src"
+    if src.exists():
+        shutil.rmtree(src)
+    shutil.copytree(REF_BWA_SRC, src)
+    stub = src / "stub" / "htslib"
+    stub.mkdir(parents=True)
+    (stub / "sam.h").write_text(_STUB_SAM_H)
+    r = subprocess.run(
+        ["make", "-j8",
+         "CFLAGS=-g -Wall -Wno-unused-function -O2 -fcommon",
+         f"INCLUDES=-I{src / 'stub'}"],
+        cwd=src, capture_output=True, text=True)
+    if r.returncode != 0 or not (src / "bwa").exists():
+        return None
+    shutil.copy2(src / "bwa", ORACLE_BIN)
+    return ORACLE_BIN
+
+
+def oracle_index(ref_fa: str | pathlib.Path) -> None:
+    """Run the real `bwa index` on a FASTA (artifacts land beside it)."""
+    bwa = build_oracle()
+    assert bwa is not None, "oracle bwa unavailable"
+    subprocess.run([str(bwa), "index", str(ref_fa)], check=True,
+                   capture_output=True)
+
+
+def oracle_mem(ref_fa, fastqs, opts: list[str] | None = None) -> list[str]:
+    """Run the real `bwa mem`; returns SAM lines (no trailing newlines)."""
+    bwa = build_oracle()
+    assert bwa is not None, "oracle bwa unavailable"
+    cmd = [str(bwa), "mem"] + (opts or []) + [str(ref_fa)] + \
+        [str(f) for f in fastqs]
+    r = subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return r.stdout.splitlines()
+
+
+def strip_pg(lines: list[str]) -> list[str]:
+    """Drop @PG headers (program name/CL necessarily differ)."""
+    return [l for l in lines if not l.startswith("@PG")]
+
+
+def sam_diff(ours: list[str], oracle: list[str], limit: int = 10) -> str:
+    """Human-readable first-differences report ('' when identical)."""
+    a, b = strip_pg(ours), strip_pg(oracle)
+    msgs = []
+    for i in range(max(len(a), len(b))):
+        la = a[i] if i < len(a) else "<missing>"
+        lb = b[i] if i < len(b) else "<missing>"
+        if la != lb:
+            msgs.append(f"line {i}:\n  ours:   {la}\n  oracle: {lb}")
+            if len(msgs) >= limit:
+                break
+    return "\n".join(msgs)
+
+
+# ---------------------------------------------------------------- fixtures
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+_COMP = {65: 84, 67: 71, 71: 67, 84: 65, 78: 78}
+
+
+def make_ref(rng, contigs_spec, repeat_frac=0.0) -> list[tuple[str, bytes]]:
+    """Random contigs: [(name, length)]; optional self-repeat insertion
+    and N runs to exercise max_occ / ambiguity paths."""
+    out = []
+    for name, length in contigs_spec:
+        seq = _BASES[rng.integers(0, 4, length)].copy()
+        if repeat_frac > 0 and length > 600:
+            # plant tandem copies of a segment to create multi-occurrence
+            # seeds (chain-filter / max_occ territory)
+            seg_len = max(80, int(length * repeat_frac / 4))
+            src = int(rng.integers(0, length - seg_len))
+            seg = seq[src:src + seg_len].copy()
+            for _ in range(3):
+                dst = int(rng.integers(0, length - seg_len))
+                seq[dst:dst + seg_len] = seg
+        if length > 400:
+            start = int(rng.integers(50, length - 60))
+            seq[start:start + int(rng.integers(3, 12))] = ord("N")
+        out.append((name, seq.tobytes()))
+    return out
+
+
+def write_fasta(path, contigs, width=70) -> None:
+    with open(path, "w") as f:
+        for name, seq in contigs:
+            f.write(f">{name}\n")
+            s = seq.decode()
+            for i in range(0, len(s), width):
+                f.write(s[i:i + width] + "\n")
+
+
+def _revcomp(s: bytes) -> bytes:
+    return bytes(_COMP.get(c, 78) for c in reversed(s))
+
+
+def _mutate(rng, s: bytes, sub_p, indel_p) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        r = rng.random()
+        if r < indel_p and len(out) > 5:
+            if rng.random() < 0.5:      # deletion
+                i += 1 + int(rng.integers(0, 3))
+                continue
+            for _ in range(1 + int(rng.integers(0, 3))):  # insertion
+                out.append(int(_BASES[rng.integers(0, 4)]))
+        c = s[i]
+        if rng.random() < sub_p:
+            c = int(_BASES[rng.integers(0, 4)])
+        out.append(c)
+        i += 1
+    return bytes(out)
+
+
+def sample_se(rng, contigs, n_reads, read_len=101, sub_p=0.01,
+              indel_p=0.002) -> list[tuple[str, bytes, bytes]]:
+    """(name, seq, qual) tuples sampled from the genome, both strands."""
+    reads = []
+    flat = [(name, seq) for name, seq in contigs]
+    for k in range(n_reads):
+        name, seq = flat[int(rng.integers(0, len(flat)))]
+        if len(seq) <= read_len + 2:
+            continue
+        pos = int(rng.integers(0, len(seq) - read_len))
+        frag = seq[pos:pos + read_len]
+        if rng.random() < 0.5:
+            frag = _revcomp(frag)
+        frag = _mutate(rng, frag, sub_p, indel_p)[:read_len]
+        if len(frag) < read_len:
+            frag = frag + _BASES[rng.integers(0, 4, read_len - len(frag))]\
+                .tobytes()
+        qual = bytes(33 + int(q) for q in rng.integers(20, 40, len(frag)))
+        reads.append((f"r{k:05d}", frag, qual))
+    return reads
+
+
+def sample_pe(rng, contigs, n_pairs, read_len=101, isize_mean=300,
+              isize_std=40, sub_p=0.01, indel_p=0.002):
+    """FR pairs: list of ((n, s, q), (n, s, q))."""
+    pairs = []
+    flat = [(name, seq) for name, seq in contigs]
+    for k in range(n_pairs):
+        name, seq = flat[int(rng.integers(0, len(flat)))]
+        isize = max(read_len + 10,
+                    int(rng.normal(isize_mean, isize_std)))
+        if len(seq) <= isize + 2:
+            continue
+        pos = int(rng.integers(0, len(seq) - isize))
+        frag = seq[pos:pos + isize]
+        r1 = frag[:read_len]
+        r2 = _revcomp(frag[-read_len:])
+        if rng.random() < 0.5:
+            r1, r2 = r2, r1  # swap which mate is forward
+        def fin(s):
+            s = _mutate(rng, s, sub_p, indel_p)[:read_len]
+            if len(s) < read_len:
+                s = s + _BASES[rng.integers(0, 4, read_len - len(s))]\
+                    .tobytes()
+            q = bytes(33 + int(x) for x in rng.integers(20, 40, len(s)))
+            return s, q
+        s1, q1 = fin(r1)
+        s2, q2 = fin(r2)
+        qname = f"p{k:05d}"
+        pairs.append(((qname, s1, q1), (qname, s2, q2)))
+    return pairs
+
+
+def write_fastq(path, reads) -> None:
+    with open(path, "w") as f:
+        for name, seq, qual in reads:
+            f.write(f"@{name}\n{seq.decode()}\n+\n{qual.decode()}\n")
