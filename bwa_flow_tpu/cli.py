@@ -10,6 +10,7 @@ read-type presets follow preprocess.cpp:55-68, 291-320.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -116,6 +117,9 @@ def build_opt(args) -> MemOpt:
     take("pen_unpaired", "pen_unpaired")
     take("min_score", "T")
     take("chunk_size", "chunk_size")
+    # -t scales the batch budget: chunk_bp = chunk_size * n_threads
+    # (fastmap.c main_mem: aux.actual_chunk_size)
+    opt.n_threads = max(1, args.n_threads)
     if args.gap_open:
         parts = [int(x) for x in args.gap_open.split(",")]
         opt.o_del = opt.o_ins = parts[0]
@@ -261,6 +265,11 @@ def main_mem(argv: list[str]) -> int:
         from .pipeline.sort import BucketSort, merge_sorted_bam
         import tempfile
         temp_dir = args.temp_dir or tempfile.mkdtemp(prefix="bwaflow_")
+        if nprocs > 1:
+            # per-rank bucket dirs on shared filesystems (the reference's
+            # <host>-<pid> output dirs, mpi_main.cpp:294-318)
+            temp_dir = os.path.join(temp_dir, f"rank{pid:03d}")
+            os.makedirs(temp_dir, exist_ok=True)
         bucket = BucketSort(fm.bns.anns, temp_dir, args.num_buckets,
                             drop_dups=args.remove_dups)
         if args.output == "-":

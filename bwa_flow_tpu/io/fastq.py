@@ -65,9 +65,30 @@ def read_seqs(path) -> Iterator[Read]:
     line = first + fh.readline()
     while line:
         head = line.rstrip(b"\r\n")[1:].split(None, 1)
-        seq = fh.readline().rstrip(b"\r\n")
-        fh.readline()  # '+'
-        qual = fh.readline().rstrip(b"\r\n")
+        # kseq semantics: sequence may span multiple lines until '+'
+        seq_parts: list[bytes] = []
+        line = fh.readline()
+        while line and not line.startswith(b"+"):
+            seq_parts.append(line.rstrip(b"\r\n"))
+            line = fh.readline()
+        seq = b"".join(seq_parts)
+        # quality accumulates until it covers the sequence length
+        qual_parts: list[bytes] = []
+        qlen = 0
+        while qlen < len(seq):
+            line = fh.readline()
+            if not line:
+                raise ValueError(
+                    f"truncated FASTQ record '{head[0].decode()}': "
+                    f"quality shorter than sequence")
+            part = line.rstrip(b"\r\n")
+            qual_parts.append(part)
+            qlen += len(part)
+        qual = b"".join(qual_parts)
+        if len(qual) != len(seq):
+            raise ValueError(
+                f"malformed FASTQ record '{head[0].decode()}': "
+                f"quality length {len(qual)} != sequence length {len(seq)}")
         yield Read(name=head[0].decode(), seq=encode_seq(seq),
                    qual=qual.decode() if qual else None,
                    comment=head[1].decode() if len(head) > 1 else None)

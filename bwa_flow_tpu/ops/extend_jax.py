@@ -158,10 +158,15 @@ def extend_core(qmax: int, tmax: int,
         mj = jnp.max(jnp.where(att, jq, -1), axis=1)
         mj = jnp.where(mrow > 0, mj, end - 1)
 
-        to_end = active & (end == qlen)
-        upd_ie = to_end & (h1 >= st["gscore"])
+        # collapsed-band rows still do the eh[end]/gscore bookkeeping
+        # before m==0 breaks them (ksw.c:451-456 — the post-loop j is beg
+        # when the inner loop never ran, end otherwise)
+        j_after = jnp.where(degenerate, beg, end)
+        h1_eff = jnp.where(degenerate, h1_init, h1)
+        to_end = active0 & (j_after == qlen)
+        upd_ie = to_end & (h1_eff >= st["gscore"])
         new_max_ie = jnp.where(upd_ie, i, st["max_ie"])
-        new_gscore = jnp.where(to_end, jnp.maximum(st["gscore"], h1),
+        new_gscore = jnp.where(to_end, jnp.maximum(st["gscore"], h1_eff),
                                st["gscore"])
 
         break_zero = mrow == 0
@@ -193,9 +198,14 @@ def extend_core(qmax: int, tmax: int,
         end_s = jnp.minimum(last_nz + 2, qlen.astype(i32))
 
         keep = active & ~broke
+        deg2 = (active0 & degenerate)[:, None]
+        at_end = jcol == end[:, None]
         out = dict(
-            ehH=jnp.where(act2, new_ehH, st["ehH"]),
-            ehE=jnp.where(act2, new_ehE, st["ehE"]),
+            ehH=jnp.where(act2, new_ehH,
+                          jnp.where(deg2 & at_end, h1_init[:, None],
+                                    st["ehH"])),
+            ehE=jnp.where(act2, new_ehE,
+                          jnp.where(deg2 & at_end, 0, st["ehE"])),
             beg=jnp.where(keep, beg_s, beg),
             end=jnp.where(keep, end_s, end),
             maxv=jnp.where(active & ~break_zero, new_maxv, st["maxv"]),
@@ -203,8 +213,8 @@ def extend_core(qmax: int, tmax: int,
             max_j=jnp.where(active & ~break_zero, new_max_j, st["max_j"]),
             max_off=jnp.where(active & ~break_zero, new_max_off,
                               st["max_off"]),
-            max_ie=jnp.where(active, new_max_ie, st["max_ie"]),
-            gscore=jnp.where(active, new_gscore, st["gscore"]),
+            max_ie=jnp.where(active0, new_max_ie, st["max_ie"]),
+            gscore=jnp.where(active0, new_gscore, st["gscore"]),
             done=st["done"] | (active0 & degenerate) | (active & broke),
         )
         return out

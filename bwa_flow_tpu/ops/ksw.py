@@ -117,29 +117,37 @@ def ksw_extend2_py(qlen: int, query: np.ndarray, tlen: int,
                 h1_init = 0
         else:
             h1_init = 0
-        if beg >= end:
-            break  # degenerate band (cannot happen with bwa parameters)
-        sl = slice(beg, end)
-        Hd = ehH[sl].copy()          # H(i-1, j-1) for j in band
-        Ein = ehE[sl].copy()         # E(i, j)
-        M = np.where(Hd != 0, Hd + q[sl], 0)
-        T_ins = np.maximum(M - oe_ins, 0)
-        F = _decayed_prefix_max(T_ins, e_ins, 0)
-        H = np.maximum(np.maximum(M, Ein), F)
-        Eout = np.maximum(np.maximum(M - oe_del, 0), Ein - e_del)
-        # write back: ehH[j] = H(i, j-1) for j in (beg, end]; ehH[beg] = h1_init
-        ehH[beg] = h1_init
-        ehH[beg + 1:end + 1] = H
-        ehE[sl] = Eout
-        ehE[end] = 0
-        h1 = int(H[-1])
-        # row max and its last position
-        mrow = int(H.max()) if H.size else 0
-        if mrow > 0:
-            mj = beg + int(np.nonzero(H == mrow)[0][-1])
+        if beg < end:
+            sl = slice(beg, end)
+            Hd = ehH[sl].copy()          # H(i-1, j-1) for j in band
+            Ein = ehE[sl].copy()         # E(i, j)
+            M = np.where(Hd != 0, Hd + q[sl], 0)
+            T_ins = np.maximum(M - oe_ins, 0)
+            F = _decayed_prefix_max(T_ins, e_ins, 0)
+            H = np.maximum(np.maximum(M, Ein), F)
+            Eout = np.maximum(np.maximum(M - oe_del, 0), Ein - e_del)
+            # write back: ehH[j] = H(i,j-1) for j in (beg,end]; ehH[beg]=h1_init
+            ehH[beg] = h1_init
+            ehH[beg + 1:end + 1] = H
+            ehE[sl] = Eout
+            ehE[end] = 0
+            h1 = int(H[-1])
+            # row max and its last position
+            mrow = int(H.max())
+            if mrow > 0:
+                mj = beg + int(np.nonzero(H == mrow)[0][-1])
+            else:
+                mj = beg + len(H) - 1  # all zeros: mj = last j (m stays 0)
+            j_after = end
         else:
-            mj = beg + len(H) - 1  # all zeros: mj = last j (m stays 0)
-        if end == qlen:
+            # collapsed band: the reference still runs the row — the inner
+            # loop is empty but eh[end]/gscore bookkeeping happens, then
+            # m==0 breaks (ksw.c:451-456; no beg>=end shortcut exists)
+            ehH[end] = h1 = h1_init
+            ehE[end] = 0
+            mrow, mj = 0, -1
+            j_after = beg
+        if j_after == qlen:
             if h1 >= gscore:
                 max_ie = i
             gscore = max(gscore, h1)

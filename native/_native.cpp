@@ -70,7 +70,9 @@ Ext2Result ksw_extend2(int qlen, const uint8_t* query, int tlen,
       h1 = h0 - (o_del + (int64_t)e_del * (i + 1));
       if (h1 < 0) h1 = 0;
     }
-    if (beg >= end) break;
+    // no beg>=end shortcut: the reference runs the collapsed-band row —
+    // empty inner loop, then eh[end]/gscore bookkeeping and m==0 break
+    // (ksw.c:424-456)
     int64_t f = 0, mrow = 0;
     int mj = end - 1;
     for (int j = beg; j < end; ++j) {
@@ -93,7 +95,9 @@ Ext2Result ksw_extend2(int qlen, const uint8_t* query, int tlen,
     }
     ehH[end] = h1;
     ehE[end] = 0;
-    if (end == qlen) {
+    // reference tests the post-loop j (== end, or beg when the band is
+    // collapsed and the loop never ran)
+    if ((beg < end ? end : beg) == qlen) {
       if (h1 >= gscore) max_ie = i;
       if (h1 > gscore) gscore = h1;
     }

@@ -217,3 +217,51 @@ def write_fastq(path, reads) -> None:
     with open(path, "w") as f:
         for name, seq, qual in reads:
             f.write(f"@{name}\n{seq.decode()}\n+\n{qual.decode()}\n")
+
+
+# ------------------------------------------------- real-ksw ctypes oracle
+
+_KSW_LIB = ORACLE_DIR / "libksw.so"
+
+
+def build_ksw_lib():
+    """Compile the vendored ksw.c into a shared lib; returns a ctypes
+    handle to the genuine ksw_extend2 (bwa/ksw.c:380-479) or None."""
+    import ctypes
+    if not _KSW_LIB.exists():
+        if build_oracle() is None:   # ensures sources are in .cache/oracle
+            return None
+        src = ORACLE_DIR / "src"
+        r = subprocess.run(
+            ["gcc", "-O2", "-fPIC", "-shared", "-fcommon",
+             str(src / "ksw.c"), "-o", str(_KSW_LIB)],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            return None
+    lib = ctypes.CDLL(str(_KSW_LIB))
+    c_i, c_p = ctypes.c_int, ctypes.POINTER(ctypes.c_int)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.ksw_extend2.restype = c_i
+    lib.ksw_extend2.argtypes = [
+        c_i, u8p, c_i, u8p, c_i, i8p, c_i, c_i, c_i, c_i, c_i, c_i, c_i,
+        c_i, c_p, c_p, c_p, c_p, c_p]
+    return lib
+
+
+def real_ksw_extend2(lib, query, target, mat, o_del, e_del, o_ins, e_ins,
+                     w, end_bonus, zdrop, h0):
+    """Call the genuine ksw_extend2; returns
+    (score, qle, tle, gtle, gscore, max_off)."""
+    import ctypes
+    q = np.ascontiguousarray(query, dtype=np.uint8)
+    t = np.ascontiguousarray(target, dtype=np.uint8)
+    m8 = np.ascontiguousarray(mat, dtype=np.int8).reshape(-1)
+    outs = [ctypes.c_int(0) for _ in range(5)]
+    sc = lib.ksw_extend2(
+        len(q), q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(t), t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        5, m8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        o_del, e_del, o_ins, e_ins, w, end_bonus, zdrop, h0,
+        *[ctypes.byref(o) for o in outs])
+    return (sc,) + tuple(o.value for o in outs)

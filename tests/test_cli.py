@@ -93,3 +93,18 @@ def test_cli_pe(workdir):
         assert "RG:Z:rg1" in l
     flags = [int(l.split("\t")[1]) for l in lines]
     assert all(fl & 0x2 for fl in flags)
+
+
+def test_multiline_fastq(tmp_path):
+    """kseq accepts multi-line sequence/quality records
+    (bwa/kseq.h; ADVICE round 1)."""
+    from bwa_flow_tpu.io import fastq
+    p = tmp_path / "m.fq"
+    p.write_text("@r1 c1\nACGT\nACGT\n+\n!!!!\n!!!!\n@r2\nAC\n+\n!!\n")
+    reads = list(fastq.read_seqs(p))
+    assert [len(r.seq) for r in reads] == [8, 2]
+    assert reads[0].qual == "!" * 8 and reads[0].comment == "c1"
+    p.write_text("@r1\nACGT\n+\n!!!!!\n")  # qual longer than seq
+    import pytest
+    with pytest.raises(ValueError):
+        list(fastq.read_seqs(p))
