@@ -205,14 +205,21 @@ def parse_insert_override(spec: str):
 
 
 def sam_header(fm, rg_line, extra_lines, argv) -> str:
-    """bwa_format_sam_hdr (preprocess.cpp:375-383 / bwa.c)."""
+    """bwa_print_sam_hdr (bwa/bwa.c:380-401): @SQ lines carry AH:* for
+    ALT contigs and are suppressed entirely when -H supplied @SQ lines;
+    the -R RG line is appended after the -H lines (fastmap.c:233-235)."""
     out = []
-    for ann in fm.bns.anns:
-        out.append(f"@SQ\tSN:{ann.name}\tLN:{ann.len}")
+    hdr_line = extra_lines or ""
     if rg_line:
-        out.append(rg_line.replace("\\t", "\t"))
-    if extra_lines:
-        out.append(extra_lines)
+        rg = rg_line.replace("\\t", "\t")
+        hdr_line = hdr_line + "\n" + rg if hdr_line else rg
+    n_sq = sum(1 for l in hdr_line.split("\n") if l.startswith("@SQ\t"))
+    if n_sq == 0:
+        for ann in fm.bns.anns:
+            out.append(f"@SQ\tSN:{ann.name}\tLN:{ann.len}"
+                       + ("\tAH:*" if ann.is_alt else ""))
+    if hdr_line:
+        out.append(hdr_line)
     out.append("@PG\tID:bwa_flow_tpu\tPN:bwa_flow_tpu"
                f"\tVN:{__version__}\tCL:{' '.join(argv)}")
     return "\n".join(out) + "\n"
@@ -249,8 +256,15 @@ def main_mem(argv: list[str]) -> int:
     if paired:
         opt.flag |= MEM_F_PE
     rg = _rg_id(args.rg_line)
-    hdr_extra = args.header_insert.replace("\\t", "\t") \
-        if args.header_insert else None
+    hdr_extra = None
+    if args.header_insert:
+        if not args.header_insert.startswith("@"):
+            # -H FILE: insert the file's @-prefixed lines (fastmap.c:199-210)
+            with open(args.header_insert) as hf:
+                lines = [l.rstrip("\n") for l in hf if l.startswith("@")]
+            hdr_extra = "\n".join(lines) if lines else None
+        else:
+            hdr_extra = args.header_insert.replace("\\t", "\t")
     header = sam_header(fm, args.rg_line, hdr_extra,
                         ["bwa_flow_tpu", "mem"] + argv)
 

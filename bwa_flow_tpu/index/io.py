@@ -150,13 +150,7 @@ def read_ann_amb(prefix: str) -> ReferenceMeta:
         for _ in range(int(first[2])):
             parts = f.readline().split()
             ambs.append(Amb(offset=int(parts[0]), len=int(parts[1]), amb=parts[2]))
-    if os.path.exists(prefix + ".alt"):
-        names = {a.name: a for a in anns}
-        with open(prefix + ".alt") as f:
-            for line in f:
-                tok = line.split("\t")[0].split()[0] if line.strip() else ""
-                if tok and not tok.startswith("@") and tok in names:
-                    names[tok].is_alt = 1
+    # NB: .alt marking is load_index's job (it honors ignore_alt / -j)
     pac = read_pac(prefix + ".pac", l_pac)
     bns = ReferenceMeta(l_pac=l_pac, anns=anns, ambs=ambs, pac=pac, seed=seed)
     return bns

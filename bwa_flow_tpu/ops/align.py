@@ -119,9 +119,13 @@ def mem_reg2aln(opt: MemOpt, fm: FMIndex, l_query: int, query: np.ndarray,
     bns = fm.bns
     a = Aln()
     if ar is None or ar.rb < 0 or ar.re < 0:
+        # reference memsets mem_aln_t to zero (bwamem.c:1106-1112), so
+        # unmapped records carry score=0/sub=0 and emit AS:i:0 XS:i:0
         a.rid = -1
         a.pos = -1
         a.flag |= 0x4
+        a.score = 0
+        a.sub = 0
         return a
     qb, qe = ar.qb, ar.qe
     rb, re = ar.rb, ar.re
