@@ -26,6 +26,27 @@ from .extend_jax import extend_core
 
 MAX_BAND_TRY = 2  # bwa/bwamem.c MAX_BAND_TRY
 
+_EXT_IMPL = None
+
+
+def _extend_impl():
+    """Select the extension core once per process: the Pallas VMEM kernel
+    on real TPU backends (~100x the XLA fori_loop formulation), the XLA
+    core elsewhere (CPU tests; Mosaic needs hardware or interpret mode)."""
+    global _EXT_IMPL
+    if _EXT_IMPL is None:
+        import os
+        if (jax.default_backend() in ("tpu", "axon")
+                and not os.environ.get("BWA_TPU_NO_PALLAS")):
+            from .extend_pallas import _extend_pallas
+
+            def impl(qmax, tmax, *args):
+                return _extend_pallas(qmax, tmax, 256, False, *args)
+            _EXT_IMPL = impl
+        else:
+            _EXT_IMPL = extend_core
+    return _EXT_IMPL
+
 
 def _two_tries(qmax, tmax, q, ql, t, tl, h0, mat, o_del, e_del, o_ins,
                e_ins, w0, end_bonus, zdrop, prev0):
@@ -97,7 +118,7 @@ def seed_extend_batch(qmax: int, tmax: int,
 def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
                            dfm, reads: jnp.ndarray, desc: jnp.ndarray,
                            mat: jnp.ndarray,
-                           o_del, e_del, o_ins, e_ins, w, pen_clip5,
+                           o_del, e_del, o_ins, e_ins, pen_clip5,
                            pen_clip3, zdrop) -> jnp.ndarray:
     """Coupled seed extension from task DESCRIPTORS: query and reference
     windows are assembled on device from the resident read batch and the
@@ -108,10 +129,15 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     windows never leave the device.
 
     reads: int32[B_reads, L_reads] (0..4, the seeding batch); desc is ONE
-    int64[8, T] array (read_idx, qbeg, slen, l_query, rbeg, rmax0, rmax1,
-    h0 rows — a single host->device transfer per wave; the device tunnel
-    charges per-transfer latency). Windows are already clipped to one
-    strand/contig by the generator. Returns int32[12, T] (one transfer)."""
+    int64[11, T] array (read_idx, qbeg, slen, l_query, rbeg, rmax0, rmax1,
+    h0, wl, wr, skip_left rows — a single host->device transfer per wave).
+    Each side runs ONE banded extension at its per-lane width; the rare
+    bwa band-doubling retry (bwamem.c:737-744, triggered by max_off) is
+    re-enqueued by the host driver into a later wave, so waves do half the
+    device work of an unconditional two-try kernel. skip_left lanes are
+    right-only retries: h0 carries the saved left score.
+    Returns int32[12, T]: (lscore, lqle, ltle, lgtle, lgscore, lmax_off,
+    rscore, rqle, rtle, rgtle, rgscore, rmax_off)."""
     from .fm_jax import pac_sym_batch
 
     T = desc.shape[1]
@@ -122,6 +148,9 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     l_query = desc[3].astype(i32)
     rbeg, rmax0, rmax1 = desc[4], desc[5], desc[6]
     h0 = desc[7].astype(i32)
+    wl = desc[8].astype(i32)
+    wr = desc[9].astype(i32)
+    skip_left = desc[10] != 0
     jq = jnp.arange(qmax, dtype=i32)[None, :]
     jt = jnp.arange(tmax, dtype=i32)[None, :]
     reads_flat = reads.reshape(-1)
@@ -133,10 +162,10 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
         return reads_flat[idx].reshape(T, -1)
 
     # left: query[qbeg-1-j], target pac[rbeg-1-j], lengths qbeg / rbeg-rmax0
-    ql_n = qbeg
+    ql_n = jnp.where(skip_left, 0, qbeg)
     ql_q = read_gather(qbeg[:, None] - 1 - jq)
     ql_q = jnp.where(jq < ql_n[:, None], ql_q, 0)
-    tl_n = (rbeg - rmax0).astype(i32)
+    tl_n = jnp.where(skip_left, 0, (rbeg - rmax0).astype(i32))
     lt_pos = rbeg[:, None] - 1 - jt.astype(jnp.int64)
     tl_t = pac_sym_batch(dfm, lt_pos.reshape(-1)).reshape(T, tmax)
     tl_t = jnp.where(jt < tl_n[:, None], tl_t, 0)
@@ -151,9 +180,17 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     tr_t = pac_sym_batch(dfm, rt_pos.reshape(-1)).reshape(T, tmax)
     tr_t = jnp.where(jt < tr_n[:, None], tr_t, 0)
 
-    out = _coupled(qmax, tmax, ql_q, ql_n, tl_t, tl_n, qr_q, qr_n,
-                   tr_t, tr_n, h0, mat, o_del, e_del, o_ins, e_ins, w,
-                   pen_clip5, pen_clip3, zdrop)
+    ext = _extend_impl()
+    lres = ext(qmax, tmax, ql_q, ql_n, tl_t, tl_n, h0, mat,
+               o_del, e_del, o_ins, e_ins, wl, pen_clip5, zdrop)
+    has_left = ql_n > 0
+    lscore = jnp.where(has_left, lres[0], h0)
+    rres = ext(qmax, tmax, qr_q, qr_n, tr_t, tr_n, lscore, mat,
+               o_del, e_del, o_ins, e_ins, wr, pen_clip3, zdrop)
+    has_right = qr_n > 0
+    rscore = jnp.where(has_right, rres[0], lscore)
+    out = (lscore, lres[1], lres[2], lres[3], lres[4], lres[5],
+           rscore, rres[1], rres[2], rres[3], rres[4], rres[5])
     return jnp.stack([o.astype(i32) for o in out])
 
 
@@ -163,18 +200,26 @@ class DescTaskBuffer:
 
     def __init__(self, cap: int, qmax: int, tmax: int):
         self.cap, self.qmax, self.tmax = cap, qmax, tmax
-        self.desc = np.zeros((8, cap), np.int64)
-        self.desc[7] = 1  # h0 must stay positive for padding lanes
+        self.desc = np.zeros((11, cap), np.int64)
+        self.desc[7] = 1   # h0 must stay positive for padding lanes
+        self.desc[8] = 1   # band widths positive for padding lanes
+        self.desc[9] = 1
         self.n = 0
 
     def reset(self):
         self.n = 0
         self.desc[:] = 0
         self.desc[7] = 1
+        self.desc[8] = 1
+        self.desc[9] = 1
 
-    def add(self, task, read_idx: int) -> int:
+    def add(self, task, read_idx: int, wl: int, wr: int,
+            skip_left: bool = False, h0: int | None = None) -> int:
         """Returns the slot, or -1 when the task exceeds device shapes or
-        its read is not device-resident (host fallback)."""
+        its read is not device-resident (host fallback). wl/wr are the
+        per-side band widths for this try (the host driver re-enqueues
+        band-doubling retries); skip_left + h0 enqueue a right-only retry
+        seeded with the saved left score."""
         d = task
         if (read_idx < 0 or self.n >= self.cap
                 or d.qbeg > self.qmax
@@ -184,7 +229,9 @@ class DescTaskBuffer:
             return -1
         i = self.n
         self.desc[:, i] = (read_idx, d.qbeg, d.slen, d.l_query, d.rbeg,
-                           d.rmax0, d.rmax1, d.h0)
+                           d.rmax0, d.rmax1,
+                           d.h0 if h0 is None else h0, wl, wr,
+                           1 if skip_left else 0)
         self.n += 1
         return i
 
@@ -197,7 +244,7 @@ class DescTaskBuffer:
             self._params_cache = (
                 jnp.asarray(opt.mat[:5, :5], dtype=jnp.int32),
                 i32(opt.o_del), i32(opt.e_del), i32(opt.o_ins),
-                i32(opt.e_ins), i32(opt.w), i32(opt.pen_clip5),
+                i32(opt.e_ins), i32(opt.pen_clip5),
                 i32(opt.pen_clip3), i32(opt.zdrop))
         return self._params_cache
 

@@ -74,7 +74,8 @@ class BatchAligner:
         # perf counters (the reference's per-stage VLOG spans, src/util.h:33)
         self.stats = {"reads": 0, "seed_host_redo": 0, "sa_host_redo": 0,
                       "ext_tasks_device": 0, "ext_tasks_host": 0,
-                      "waves": 0, "validations": 0, "device_errors": 0}
+                      "waves": 0, "band_retries": 0, "validations": 0,
+                      "device_errors": 0}
 
     # ------------------------------------------------------------------
     def _resolve_sa(self, all_intvs):
@@ -212,7 +213,14 @@ class BatchAligner:
         return False
 
     def extend_waves(self, seqs: list[np.ndarray], all_chains) -> list:
-        """Stage 4: cross-read wave extension on device (no dedup)."""
+        """Stage 4: cross-read wave extension on device (no dedup).
+
+        Each wave runs ONE banded try per extension side; bwa's band
+        doubling (bwamem.c:737-744) is driven from here: a task whose
+        max_off crossed the threshold is re-enqueued into a later wave
+        with the doubled band (stage 1 = redo left@2w+right, stage 2 =
+        right-only@2w with the saved left half). Retries are rare, so
+        this halves device work vs an unconditional two-try kernel."""
         opt, fm = self.opt, self.fm
         all_regs = [[] for _ in seqs]
 
@@ -222,13 +230,13 @@ class BatchAligner:
                     opt, fm, len(seqs[ridx]), seqs[ridx], c, all_regs[ridx])
 
         gens = {}
-        pending = {}
+        pending = {}  # ridx -> [task, stage, saved_left_6tuple|None]
         for ridx in range(len(seqs)):
             g = read_gen(ridx)
             t = next(g, None)
             if t is not None:
                 gens[ridx] = g
-                pending[ridx] = t
+                pending[ridx] = [t, 0, None]
 
         def dev_idx(ridx):
             """Device read index for descriptor tasks; -1 when the read was
@@ -251,25 +259,63 @@ class BatchAligner:
                     del pending[ridx]
                     return False
                 if self._fits(t, dev_idx(ridx)):
-                    pending[ridx] = t
+                    pending[ridx] = [t, 0, None]
                     return True
                 self.stats["ext_tasks_host"] += 1
                 res = regionops.run_task_host(opt, t)
 
         # bootstrap: oversized first tasks
         for ridx in list(pending):
-            t = pending[ridx]
+            t = pending[ridx][0]
             if not self._fits(t, dev_idx(ridx)):
                 self.stats["ext_tasks_host"] += 1
                 advance(ridx, regionops.run_task_host(opt, t))
+
+        W = opt.w
+        RETRY_OFF = (W >> 1) + (W >> 2)   # max_off threshold at try 0
+
+        def handle(ridx, row):
+            """Apply one wave result: finish the task or re-enqueue a
+            band-doubling retry (run_task_host's loops, spread over
+            waves)."""
+            entry = pending[ridx]
+            t, stage, lpart = entry
+            (ls, lq, lt_, lg, lgs, lmo,
+             rs_, rq, rt, rg, rgs, rmo) = row
+            has_left = len(t.q_left) > 0
+            has_right = len(t.q_right) > 0
+            if stage == 0 and has_left and lmo >= RETRY_OFF:
+                entry[1] = 1      # redo left@2w (+right with new h0)
+                self.stats["band_retries"] += 1
+                return
+            if stage in (0, 1):
+                aw0 = (W << 1) if (stage == 1 and has_left) else W
+                lfinal = (ls, lq, lt_, lg, lgs, aw0)
+                sc0 = ls
+                if has_right and rs_ != sc0 and rmo >= RETRY_OFF:
+                    entry[1] = 2  # right-only retry @2w, h0 = sc0
+                    entry[2] = lfinal
+                    self.stats["band_retries"] += 1
+                    return
+                rfinal = (rs_, rq, rt, rg, rgs, W)
+            else:  # stage 2: right half from this row, left half saved
+                lfinal = lpart
+                rfinal = (rs_, rq, rt, rg, rgs, W << 1)
+            advance(ridx, lfinal + rfinal)
 
         from ..utils.trace import GLOBAL as tracer
         while pending:
             with tracer.span("wave.pack"):
                 self.buf.reset()
                 slots = []
-                for ridx, t in pending.items():
-                    i = self.buf.add(t, dev_idx(ridx))
+                for ridx, (t, stage, lpart) in pending.items():
+                    if stage == 0:
+                        i = self.buf.add(t, dev_idx(ridx), W, W)
+                    elif stage == 1:
+                        i = self.buf.add(t, dev_idx(ridx), W << 1, W)
+                    else:
+                        i = self.buf.add(t, dev_idx(ridx), W, W << 1,
+                                         skip_left=True, h0=lpart[0])
                     if i < 0:
                         break  # buffer full: next wave picks the rest up
                     slots.append(ridx)
@@ -281,7 +327,7 @@ class BatchAligner:
             with tracer.span("wave.apply"):
                 rows = out.T.tolist()  # [12, T] -> per-task 12-tuples
                 for i, ridx in enumerate(slots):
-                    advance(ridx, rows[i])
+                    handle(ridx, rows[i])
 
         return all_regs
 
