@@ -69,6 +69,17 @@ def _mem_parser() -> argparse.ArgumentParser:
       help="run the golden host path (CPU) instead of TPU kernels")
     a("--batch-reads", type=int, default=0,
       help="cap reads per device batch (0 = by chunk bp)")
+    a("--validate-every", type=int, dest="validate_every", default=0,
+      help="cross-check a sample of every Nth device batch against the "
+           "golden model; mismatch degrades to host (FPGA wrong-result "
+           "detector analog)")
+    a("--device-timeout", type=float, dest="device_timeout", default=300.0,
+      help="seconds before a device fetch is declared hung and the run "
+           "degrades to host (fpgaHangError analog; 0 disables)")
+    a("--mp-context", dest="mp_context", default="fork",
+      choices=("fork", "spawn", "forkserver"),
+      help="worker pool start method (spawn is safest under JAX threads; "
+           "fork shares the index copy-on-write)")
     # pipeline controls (reference: --disable_markdup, --sort, --temp_dir,
     # --num_buckets, --filter, --remove_duplicates; src/config.cpp)
     a("--disable-markdup", action="store_true", dest="disable_markdup",
@@ -342,7 +353,11 @@ def main_mem(argv: list[str]) -> int:
         from .pipeline.dataflow import AlignPipeline
         pipe = AlignPipeline(opt, fm, paired=paired,
                              n_workers=max(0, args.n_threads - 1),
-                             rg_id=rg, pes0=pes0)
+                             rg_id=rg, pes0=pes0,
+                             mp_context=args.mp_context,
+                             aligner_kw=dict(
+                                 validate_every=args.validate_every,
+                                 device_timeout=args.device_timeout))
         try:
             pipe.run(batches(), emit)
         finally:

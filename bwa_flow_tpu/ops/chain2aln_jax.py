@@ -250,11 +250,24 @@ class DescTaskBuffer:
 
     def run(self, opt, dfm, reads_dev, L_reads: int) -> np.ndarray:
         """Returns int32[12, n_slots]: one transfer each way per wave."""
+        return np.asarray(self.run_async(opt, dfm, reads_dev, L_reads))
+
+    def run_async(self, opt, dfm, reads_dev, L_reads: int):
+        """Dispatch the wave and start its device->host fetch; returns the
+        jax array (np.asarray it later). The remote device tunnel charges
+        ~30-40 ms fixed latency per transfer but pipelines overlapping
+        ones, so the driver keeps two waves in flight (SWTask ping-pong,
+        /root/reference/src/fpga/SWTask.cpp:106-244) and never blocks on
+        a transfer it just started."""
         import jax.numpy as jnp
         out = seed_extend_desc_batch(
             self.qmax, self.tmax, L_reads, dfm, reads_dev,
             jnp.asarray(self.desc), *self._params(opt))
-        return np.asarray(out)
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return out
 
 
 class SeedExtendTaskBuffer:

@@ -52,9 +52,15 @@ class DeviceFM(NamedTuple):
     sa: jnp.ndarray
     pac_words: jnp.ndarray
     l_pac: jnp.ndarray
+    # densified SA (int32[seq_len], bucketed) for sub-2^31 genomes: SA
+    # lookup becomes ONE gather instead of a ~sa_intv-step batched LF
+    # walk. None for large genomes (pytree structure differs, so jitted
+    # programs specialize on which variant they serve).
+    sa_dense: jnp.ndarray | None = None
 
     @classmethod
-    def from_host(cls, fm: FMIndex) -> "DeviceFM":
+    def from_host(cls, fm: FMIndex, dense_sa_max: int | None = None
+                  ) -> "DeviceFM":
         if fm.bns is not None:
             pac = fm.bns.pac
             n_words = (len(pac) + 3) // 4
@@ -84,7 +90,7 @@ class DeviceFM(NamedTuple):
             out[:n] = arr
             return out
 
-        return cls(
+        dfm = cls(
             seq_len=jnp.asarray(fm.seq_len, dtype=jnp.int64),
             primary=jnp.asarray(fm.primary, dtype=jnp.int64),
             L2=jnp.asarray(fm.L2, dtype=jnp.int64),
@@ -95,6 +101,14 @@ class DeviceFM(NamedTuple):
             pac_words=jnp.asarray(bucket(pac_words).view(np.int32)),
             l_pac=jnp.asarray(l_pac, dtype=jnp.int64),
         )
+        import os
+        if dense_sa_max is None:
+            dense_sa_max = int(os.environ.get("BWA_TPU_DENSE_SA_MAX",
+                                              1 << 28))
+        if 0 < fm.seq_len <= min(dense_sa_max, (1 << 31) - 1):
+            dense = _densify_sa(dfm, fm)
+            dfm = dfm._replace(sa_dense=jnp.asarray(bucket(dense)))
+        return dfm
 
 
 def pac_sym_batch(dfm: DeviceFM, pos: jnp.ndarray) -> jnp.ndarray:
@@ -278,7 +292,12 @@ def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
     == 0) or `max_iters` steps. Returns (sa int64[B], overflow bool[B]);
     overflow lanes must be recomputed on host (expected walk ~ sa_intv/2
     steps; bwa default sa_intv=32 makes 256 a >8x budget)."""
+    if dfm.sa_dense is not None:
+        idx = jnp.clip(k, 0, dfm.sa_dense.shape[0] - 1).astype(jnp.int32)
+        return (dfm.sa_dense[idx].astype(jnp.int64),
+                jnp.zeros(k.shape, bool))
     mask = (dfm.sa_intv - 1).astype(jnp.int64)
+
     def cond(state):
         kk, steps, it = state
         return (it < max_iters) & jnp.any(kk & mask != 0)
@@ -297,3 +316,27 @@ def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
     idx = (kf // dfm.sa_intv.astype(jnp.int64)).astype(jnp.int64)
     idx = jnp.clip(idx, 0, dfm.sa.shape[0] - 1)
     return steps + dfm.sa[idx], overflow
+
+
+def _densify_sa(dfm: DeviceFM, fm: FMIndex) -> np.ndarray:
+    """Full int32 SA for a sub-2^31 genome, computed once at index-upload
+    time by running the batched LF walk over every row in fixed-shape
+    chunks (the device does in seconds what turns SA resolution from a
+    ~sa_intv-step walk per probe into a single gather). Stragglers past
+    the iteration budget fall back to the host walk."""
+    from . import fm as fmops
+    # FM interval rows span [0, seq_len] INCLUSIVE (seq_len+1 values:
+    # bwt_sa accepts k == seq_len), so densify one row past seq_len
+    n = int(fm.seq_len) + 1
+    CH = 1 << 20
+    out = np.empty(n, np.int32)
+    for off in range(0, n, CH):
+        m = min(CH, n - off)
+        pad = np.zeros(CH, dtype=np.int64)
+        pad[:m] = np.arange(off, off + m, dtype=np.int64)
+        packed = np.asarray(sa_batch_packed(dfm, jnp.asarray(pad), 1024))
+        vals = packed[0, :m].astype(np.int32)
+        for j in np.nonzero(packed[1, :m] != 0)[0]:
+            vals[j] = fmops.bwt_sa(fm, off + int(j))
+        out[off:off + m] = vals
+    return out

@@ -407,21 +407,37 @@ def pad_reads(reads: list[np.ndarray], L: int
     return q, qlen
 
 
-def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
-                       reads: list[np.ndarray], L: int = 256,
-                       MAXB: int = 64, MAXM: int = 128,
-                       iters_factor: int = 16, padded=None
-                       ) -> list[list[smem_golden.Intv]]:
-    # NB: shrinking MAXB/MAXM below 64/128 measured *slower* on v5e (the
-    # slot axis maps to vector lanes; 128 tiles cleanly), so the budget
-    # defaults stay at the reference's FPGA task shape (SMemTask.cpp:26-28).
-    """Host wrapper: pad reads to [B, L], run the device machine, unpack to
-    Intv lists; reads that overflowed any budget are redone with the golden
-    implementation (reference redo pattern, FPGAPipeline.cpp:706-714)."""
+SEED_HEAD = 32  # slots fetched eagerly; reads rarely use more
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _mems_slice(mems, width: int):
+    return mems[:, :, :width]
+
+
+def _start_fetch(arr):
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
+    return arr
+
+
+def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
+                  reads: list[np.ndarray], L: int = 256,
+                  MAXB: int = 64, MAXM: int = 128,
+                  iters_factor: int = 16, padded=None) -> dict:
+    """Dispatch the device SMEM machine for a batch and START the
+    device->host fetches of the meta row and the leading SEED_HEAD mem
+    slots (the tunnel pipelines overlapping transfers); returns a handle
+    for seed_collect. The padded read batch is kept in the handle so the
+    extension stage can address it (descriptor-only waves)."""
     if padded is not None:
         q, qlen = padded
+        q_dev, qlen_dev = q, qlen
     else:
         q, qlen = pad_reads(reads, L)
+        q_dev, qlen_dev = jnp.asarray(q), jnp.asarray(qlen)
     key = (id(opt), opt.min_seed_len, opt.split_len, opt.split_width,
            opt.max_mem_intv)
     params = _OPT_CACHE.get(key)
@@ -432,19 +448,33 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
                   jnp.asarray(opt.max_mem_intv, I64))
         _OPT_CACHE[key] = params
     mems, n_mem, ovf = collect_intv_device(
-        dfm, L, MAXB, MAXM, L * iters_factor,
-        jnp.asarray(q), jnp.asarray(qlen), *params)
-    meta = np.asarray(_pack_meta(n_mem, ovf))  # one transfer for both
+        dfm, L, MAXB, MAXM, L * iters_factor, q_dev, qlen_dev, *params)
+    return dict(
+        reads=reads, opt=opt, fm=fm, L=L, MAXM=MAXM,
+        q_dev=q_dev, mems=mems,
+        meta=_start_fetch(_pack_meta(n_mem, ovf)),
+        head=_start_fetch(_mems_slice(mems, min(SEED_HEAD, MAXM))))
+
+
+def seed_collect(handle: dict, fetch=np.asarray
+                 ) -> list[list[smem_golden.Intv]]:
+    """Finish a seed_dispatch: unpack Intv lists; overflowed reads are
+    redone with the golden implementation (reference redo pattern,
+    FPGAPipeline.cpp:706-714)."""
+    opt, fm, reads = handle["opt"], handle["fm"], handle["reads"]
+    L, MAXM = handle["L"], handle["MAXM"]
+    meta = fetch(handle["meta"])
     n_mem = meta[0]
     ovf = meta[1] != 0
-    # transfer only the used slot prefix (the full [B, 4, MAXM] int64
-    # buffer is tens of MB; typical reads use < 32 slots)
     used = int(n_mem.max()) if len(n_mem) else 0
-    width = 8
-    while width < used:
-        width <<= 1
-    width = min(width, MAXM)
-    mems = np.asarray(mems[:, :, :width])
+    if used <= min(SEED_HEAD, MAXM):
+        mems = fetch(handle["head"])
+    else:  # rare: some read used more slots than the eager head fetch
+        width = SEED_HEAD
+        while width < used:
+            width <<= 1
+        width = min(width, MAXM)
+        mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
     out = []
     Intv = smem_golden.Intv
     for b, r in enumerate(reads):
@@ -454,3 +484,17 @@ def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
         rows = mems[b, :, :n_mem[b]].T.tolist()  # one bulk conversion
         out.append([Intv(k, l, s, info) for k, l, s, info in rows])
     return out
+
+
+def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
+                       reads: list[np.ndarray], L: int = 256,
+                       MAXB: int = 64, MAXM: int = 128,
+                       iters_factor: int = 16, padded=None
+                       ) -> list[list[smem_golden.Intv]]:
+    # NB: shrinking MAXB/MAXM below 64/128 measured *slower* on v5e (the
+    # slot axis maps to vector lanes; 128 tiles cleanly), so the budget
+    # defaults stay at the reference's FPGA task shape (SMemTask.cpp:26-28).
+    """Synchronous wrapper: seed_dispatch + seed_collect."""
+    h = seed_dispatch(opt, fm, dfm, reads, L, MAXB, MAXM, iters_factor,
+                      padded)
+    return seed_collect(h)

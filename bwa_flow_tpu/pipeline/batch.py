@@ -52,13 +52,20 @@ class BatchAligner:
     def __init__(self, opt: MemOpt, fm: FMIndex, smem_L: int = 160,
                  wave_cap: int = 512, qmax: int = 160, tmax: int = 512,
                  sa_chunk: int = 65536, validate_every: int = 0,
-                 validate_sample: int = 2):
+                 validate_sample: int = 2, device_timeout: float = 300.0):
         self.opt = opt
         self.fm = fm
         self.dfm = DeviceFM.from_host(fm)
         self.smem_L = smem_L
         self.sa_chunk = sa_chunk
-        self.buf = DescTaskBuffer(wave_cap, qmax, tmax)
+        # two buffers: wave streams ping-pong (SWTask double buffering)
+        self.bufs = [DescTaskBuffer(wave_cap, qmax, tmax),
+                     DescTaskBuffer(wave_cap, qmax, tmax)]
+        self.buf = self.bufs[0]
+        # hang detection (the reference's 10-s fpgaHangError timeouts,
+        # SWTask.cpp:115-121; generous default since first-use device
+        # fetches include remote compiles)
+        self.device_timeout = device_timeout
         self._dev_reads = None
         self._dev_reads_n = 0
         # failure detection / graceful degradation (the reference's FPGA
@@ -76,6 +83,33 @@ class BatchAligner:
                       "ext_tasks_device": 0, "ext_tasks_host": 0,
                       "waves": 0, "band_retries": 0, "validations": 0,
                       "device_errors": 0}
+
+    # ------------------------------------------------------------------
+    def fetch(self, arr) -> np.ndarray:
+        """Device->host fetch with hang detection: a fetch exceeding
+        device_timeout raises TimeoutError (the fpgaHangError analog,
+        SWTask.cpp:115-121) which the caller turns into host fallback."""
+        if self.device_timeout <= 0:
+            return np.asarray(arr)
+        import threading
+        box: dict = {}
+
+        def work():
+            try:
+                box["v"] = np.asarray(arr)
+            except Exception as e:  # pragma: no cover - device failure
+                box["e"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(self.device_timeout)
+        if th.is_alive():
+            raise TimeoutError(
+                f"device fetch exceeded {self.device_timeout}s "
+                "(hung device/tunnel)")
+        if "e" in box:
+            raise box["e"]
+        return box["v"]
 
     # ------------------------------------------------------------------
     def _resolve_sa(self, all_intvs):
@@ -98,6 +132,10 @@ class BatchAligner:
         if not rows:
             return luts
         rows = np.asarray(rows, dtype=np.int64)
+        # dispatch every chunk with async fetch before touching results:
+        # the tunnel pipelines overlapping transfers (~30 ms fixed each,
+        # near-free when >= 2 are in flight)
+        handles = []
         for off in range(0, len(rows), self.sa_chunk):
             chunk = rows[off:off + self.sa_chunk]
             # pow2 buckets: few compiled variants, one transfer each way
@@ -106,7 +144,14 @@ class BatchAligner:
                 width <<= 1
             pad = np.zeros(width, dtype=np.int64)
             pad[:len(chunk)] = chunk
-            packed = np.asarray(sa_batch_packed(self.dfm, pad))
+            out = sa_batch_packed(self.dfm, pad)
+            try:
+                out.copy_to_host_async()
+            except AttributeError:
+                pass
+            handles.append((off, chunk, out))
+        for off, chunk, out in handles:
+            packed = self.fetch(out)
             vals = packed[0, :len(chunk)].copy()  # writable: ovf redo below
             ovf = packed[1, :len(chunk)] != 0
             for j in np.nonzero(ovf)[0]:
@@ -118,20 +163,31 @@ class BatchAligner:
         return luts
 
     # ------------------------------------------------------------------
-    def collect_seeds(self, seqs: list[np.ndarray]):
-        """Stage 1: device SMEM seeding (long reads fall back inside).
-        The padded read batch stays device-resident for the extension
-        stage (descriptor-only waves)."""
+    def seeds_dispatch(self, seqs: list[np.ndarray]) -> dict:
+        """Dispatch stage 1 (device SMEM seeding) without blocking; the
+        returned handle feeds seeds_collect. Dispatching the NEXT batch's
+        seeding while this batch's host stages run keeps the device busy
+        (the pipeline-parallel analog of the reference's kflow stages)."""
         import jax.numpy as jnp
-        self.stats["reads"] += len(seqs)
         q, qlen = smem_jax.pad_reads(seqs, self.smem_L)
         q_dev = jnp.asarray(q)
-        self._dev_reads = q_dev
-        self._dev_reads_n = len(seqs)
-        return smem_jax.collect_intv_batch(self.opt, self.fm, self.dfm,
-                                           seqs, L=self.smem_L,
-                                           padded=(q_dev,
-                                                   jnp.asarray(qlen)))
+        h = smem_jax.seed_dispatch(self.opt, self.fm, self.dfm, seqs,
+                                   L=self.smem_L,
+                                   padded=(q_dev, jnp.asarray(qlen)))
+        h["n_reads"] = len(seqs)
+        return h
+
+    def seeds_collect(self, h: dict):
+        """Finish a seeds_dispatch; pins the handle's padded read batch as
+        the device-resident reads for the following extension waves."""
+        self.stats["reads"] += h["n_reads"]
+        self._dev_reads = h["q_dev"]
+        self._dev_reads_n = h["n_reads"]
+        return smem_jax.seed_collect(h, fetch=self.fetch)
+
+    def collect_seeds(self, seqs: list[np.ndarray]):
+        """Stage 1: device SMEM seeding (long reads fall back inside)."""
+        return self.seeds_collect(self.seeds_dispatch(seqs))
 
     def chain_reads(self, seqs, all_intvs, luts):
         """Stage 3: host chaining (exact bwa semantics)."""
@@ -304,30 +360,58 @@ class BatchAligner:
             advance(ridx, lfinal + rfinal)
 
         from ..utils.trace import GLOBAL as tracer
-        while pending:
+        # Two wave streams ping-ponged over disjoint reads (the SWTask
+        # double buffer, SWTask.cpp:106-244): while stream A's results
+        # cross the tunnel and its next wave is packed, stream B computes.
+        busy: set = set()
+
+        def pack_and_run(buf):
             with tracer.span("wave.pack"):
-                self.buf.reset()
+                buf.reset()
                 slots = []
                 for ridx, (t, stage, lpart) in pending.items():
+                    if ridx in busy:
+                        continue
                     if stage == 0:
-                        i = self.buf.add(t, dev_idx(ridx), W, W)
+                        i = buf.add(t, dev_idx(ridx), W, W)
                     elif stage == 1:
-                        i = self.buf.add(t, dev_idx(ridx), W << 1, W)
+                        i = buf.add(t, dev_idx(ridx), W << 1, W)
                     else:
-                        i = self.buf.add(t, dev_idx(ridx), W, W << 1,
-                                         skip_left=True, h0=lpart[0])
+                        i = buf.add(t, dev_idx(ridx), W, W << 1,
+                                    skip_left=True, h0=lpart[0])
                     if i < 0:
                         break  # buffer full: next wave picks the rest up
                     slots.append(ridx)
-            with tracer.span("wave.device"):
-                out = self.buf.run(opt, self.dfm, self._dev_reads,
-                                   self.smem_L)
+            if not slots:
+                return None
+            busy.update(slots)
+            with tracer.span("wave.dispatch"):
+                out = buf.run_async(opt, self.dfm, self._dev_reads,
+                                    self.smem_L)
             self.stats["waves"] += 1
             self.stats["ext_tasks_device"] += len(slots)
+            return slots, out
+
+        def apply(entry):
+            slots, out = entry
+            with tracer.span("wave.fetch"):
+                rows = self.fetch(out).T.tolist()
             with tracer.span("wave.apply"):
-                rows = out.T.tolist()  # [12, T] -> per-task 12-tuples
                 for i, ridx in enumerate(slots):
+                    busy.discard(ridx)
                     handle(ridx, rows[i])
+
+        streams = [pack_and_run(self.bufs[0]), pack_and_run(self.bufs[1])]
+        s = 0
+        while streams[0] is not None or streams[1] is not None:
+            if streams[s] is not None:
+                apply(streams[s])
+                streams[s] = None
+                streams[s] = pack_and_run(self.bufs[s])
+            o = 1 - s
+            if streams[o] is None:
+                streams[o] = pack_and_run(self.bufs[o])
+            s = o
 
         return all_regs
 

@@ -91,6 +91,29 @@ def _dedup_worker(arg):
     return out
 
 
+def _host_align_worker(arg):
+    """Stage: golden seed->chain->extend (NO dedup — the tail stage dedups
+    exactly like the device path) for a slice of reads; the finishUpOnCPU
+    analog (/root/reference/src/fpga/FPGAPipeline.cpp:345-364), used when
+    the device path is degraded."""
+    from ..ops import smem as smemops
+    opt, fm = _G["opt"], _G["fm"]
+    out = []
+    for seq in arg:
+        if len(seq) < opt.min_seed_len:
+            out.append([])
+            continue
+        intvs = smemops.collect_intv(opt, fm, seq)
+        chains = chainops.mem_chain(opt, fm, len(seq), intvs)
+        chains = chainops.mem_chain_flt(opt, chains)
+        chainops.mem_flt_chained_seeds(opt, fm, len(seq), seq, chains)
+        regs: list = []
+        for c in chains:
+            regionops.mem_chain2aln(opt, fm, len(seq), seq, c, regs)
+        out.append(regs)
+    return out
+
+
 def _pe_pair_worker(arg):
     """Stage: dedup'd regions -> pairing/rescue/SAM for read-pair slices.
     Regions must already be dedup/patched (pestat ran on them)."""
@@ -207,31 +230,111 @@ class AlignPipeline:
             return batch
         return join
 
+    # -- hardening -----------------------------------------------------
+    def _degrade(self, err) -> None:
+        """Device failure -> permanent host fallback + note (the
+        reference's finishUpOnCPU + setUseAccx(false),
+        FPGAPipeline.cpp:526-551)."""
+        import sys
+        print(f"[W::align] device path failed ({err!r}); falling back to "
+              "host for the rest of the run", file=sys.stderr)
+        self.ba.stats["device_errors"] += 1
+        self.ba.device_ok = False
+
+    def _host_align(self, seqs):
+        """Golden alignment for a whole batch, pool-parallel."""
+        self.ba.stats["reads"] += len(seqs)
+        return self._run_parts(_host_align_worker, seqs)
+
+    def _validate_sample(self, seqs, regs) -> bool:
+        """Cross-check a deterministic sample of pre-dedup device regions
+        against the golden model (the FPGA wrong-result detector analog,
+        FPGAPipeline.cpp:29-130). True on mismatch."""
+        import copy
+        self.ba.stats["validations"] += 1
+        n = len(seqs)
+        step = max(1, n // max(1, self.ba.validate_sample))
+        for i in range(0, n, step):
+            want = golden.mem_align1_core(self.opt, self.fm, seqs[i])
+            got = regionops.mem_sort_dedup_patch(
+                self.opt, self.fm, seqs[i], copy.deepcopy(regs[i]),
+                golden.make_patch_scorer(self.opt, self.fm, seqs[i]))
+            if len(want) != len(got):
+                return True
+            for a, b in zip(got, want):
+                if (a.rb, a.re, a.qb, a.qe, a.rid, a.score, a.truesc,
+                        a.w, a.seedcov) != (b.rb, b.re, b.qb, b.qe, b.rid,
+                                            b.score, b.truesc, b.w,
+                                            b.seedcov):
+                    return True
+        return False
+
     # -- the pipeline --------------------------------------------------
     def run(self, batches: Iterable[list[Read]],
             emit: Callable[[list[Read]], None]) -> int:
-        """Two-deep software pipeline over batches; calls emit(batch) in
-        order with .sam filled. Returns reads processed."""
+        """Pipelined batch loop: the NEXT batch's device seeding is
+        dispatched before this batch's host stages run, extension waves
+        ping-pong two streams, and every device interaction degrades to
+        the pooled golden path on error or hang (task-3 hardening: the
+        production path now carries the same failure handling as
+        BatchAligner.align_regs). Calls emit(batch) in order with .sam
+        filled; returns reads processed."""
         from ..utils.trace import GLOBAL as tracer
         n_processed = 0
-        pending = None  # (join, ) of the previous batch's tail
-        for batch in batches:
-            seqs = [r.seq for r in batch]
-            # device front (SMEM + SA) for THIS batch while the previous
-            # batch's tail drains in the pool
-            with tracer.span("seed"):
-                intvs = self.ba.collect_seeds(seqs)
-            with tracer.span("sa"):
-                luts = self.ba._resolve_sa(intvs)
-            with tracer.span("chain"):
-                chains = self._chains(seqs, intvs, luts)
-            with tracer.span("extend_waves"):
-                regs = self.ba.extend_waves(seqs, chains)
+        pending = None  # join() of the previous batch's tail
+        it = iter(batches)
+        cur = next(it, None)
+        cur_h = None
+        if cur is not None and self.ba.device_ok:
+            try:
+                cur_h = self.ba.seeds_dispatch([r.seq for r in cur])
+            except Exception as e:
+                self._degrade(e)
+        while cur is not None:
+            seqs = [r.seq for r in cur]
+            regs = None
+            intvs = luts = None
+            if cur_h is not None and self.ba.device_ok:
+                try:
+                    with tracer.span("seed"):
+                        intvs = self.ba.seeds_collect(cur_h)
+                    with tracer.span("sa"):
+                        luts = self.ba._resolve_sa(intvs)
+                except Exception as e:
+                    self._degrade(e)
+            nxt = next(it, None)
+            nxt_h = None
+            if nxt is not None and self.ba.device_ok:
+                try:
+                    # device seeds batch N+1 while batch N's host stages
+                    # (chaining, wave packing/apply, tail) run
+                    nxt_h = self.ba.seeds_dispatch([r.seq for r in nxt])
+                except Exception as e:
+                    self._degrade(e)
+            if intvs is not None and self.ba.device_ok:
+                try:
+                    with tracer.span("chain"):
+                        chains = self._chains(seqs, intvs, luts)
+                    with tracer.span("extend_waves"):
+                        regs = self.ba.extend_waves(seqs, chains)
+                except Exception as e:
+                    self._degrade(e)
+                    regs = None
+            if regs is not None and self.ba.validate_every:
+                self.ba._batch_no += 1
+                if self.ba._batch_no % self.ba.validate_every == 0:
+                    if self._validate_sample(seqs, regs):
+                        self._degrade("validation mismatch")
+                        regs = None
+            if regs is None:
+                with tracer.span("host_align"):
+                    regs = self._host_align(seqs)
             if pending is not None:
                 with tracer.span("emit_wait"):
                     emit(pending())
-            pending = self._tail_async(batch, regs, n_processed)
-            n_processed += len(batch)
+            pending = self._tail_async(cur, regs, n_processed)
+            n_processed += len(cur)
+            cur, cur_h = nxt, nxt_h
         if pending is not None:
             with tracer.span("emit_wait"):
                 emit(pending())

@@ -93,3 +93,22 @@ def test_sa_batch_overflow_flags(small_index):
     exact = np.array([fmops.bwt_sa(fm, int(k)) for k in ks])
     assert ((walked == exact) | ovf).all()
     assert (ovf <= need.astype(bool)).all() or ovf.any()
+
+
+def test_dense_sa_covers_last_row(small_index):
+    """FM interval rows span [0, seq_len] INCLUSIVE; the densified SA
+    must answer the final row (regression: a read whose only seed
+    interval started at x0 == seq_len resolved to garbage)."""
+    import jax.numpy as jnp
+    from bwa_flow_tpu.ops import fm as fmops
+    from bwa_flow_tpu.ops.fm_jax import DeviceFM, sa_batch
+    fm, _ = small_index
+    dfm = DeviceFM.from_host(fm)
+    assert dfm.sa_dense is not None
+    ks = jnp.asarray([0, fm.seq_len // 2, fm.seq_len - 1, fm.seq_len],
+                     jnp.int64)
+    vals, ovf = sa_batch(dfm, ks)
+    import numpy as np
+    want = [fmops.bwt_sa(fm, int(k)) for k in np.asarray(ks)]
+    assert not np.asarray(ovf).any()
+    assert np.asarray(vals).tolist() == want

@@ -83,3 +83,72 @@ def test_tracer_spans():
     assert tr.counts["stage_a"] == 2
     assert "stage_a" in tr.report()
     assert "stage_b" in tr.as_json()
+
+
+def _pipe_run(pipe, reads):
+    out = []
+    pipe.run(iter([reads]), out.extend)
+    return out
+
+
+def test_dataflow_device_failure_midrun(small_index, rng, monkeypatch):
+    """Production-path hardening (round-1 verdict task 3): a device
+    exception mid-run must degrade AlignPipeline to the pooled host path
+    with bit-identical output."""
+    import copy
+    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+    fm, contigs = small_index
+    opt = MemOpt()
+    reads = _make_se_reads(rng, contigs, 10)
+    want = copy.deepcopy(reads)
+    golden.align_se(opt, fm, want)
+    pipe = AlignPipeline(opt, fm, paired=False, n_workers=0)
+    try:
+        monkeypatch.setattr(
+            pipe.ba, "extend_waves",
+            lambda seqs, chains: (_ for _ in ()).throw(
+                RuntimeError("device lost mid-run")))
+        batches = [reads[:5], reads[5:]]
+        done = []
+        pipe.run(iter(batches), done.extend)
+        assert not pipe.ba.device_ok
+        assert pipe.ba.stats["device_errors"] == 1
+        assert len(done) == len(reads)
+        for g, w in zip(done, want):
+            assert g.sam == w.sam
+    finally:
+        pipe.close()
+
+
+def test_dataflow_validation_mismatch_degrades(small_index, rng,
+                                               monkeypatch):
+    """validate_every now runs on the production AlignPipeline path."""
+    import copy
+    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+    fm, contigs = small_index
+    opt = MemOpt()
+    reads = _make_se_reads(rng, contigs, 8)
+    want = copy.deepcopy(reads)
+    golden.align_se(opt, fm, want)
+    pipe = AlignPipeline(opt, fm, paired=False, n_workers=0,
+                         aligner_kw=dict(validate_every=1,
+                                         validate_sample=8))
+    try:
+        real = pipe.ba.extend_waves
+
+        def corrupted(seqs, chains):
+            regs = real(seqs, chains)
+            for rr in regs:
+                for a in rr:
+                    a.score += 3
+            return regs
+
+        monkeypatch.setattr(pipe.ba, "extend_waves", corrupted)
+        done = []
+        pipe.run(iter([reads]), done.extend)
+        assert not pipe.ba.device_ok
+        assert pipe.ba.stats["validations"] == 1
+        for g, w in zip(done, want):
+            assert g.sam == w.sam
+    finally:
+        pipe.close()
