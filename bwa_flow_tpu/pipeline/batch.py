@@ -112,26 +112,16 @@ class BatchAligner:
         return box["v"]
 
     # ------------------------------------------------------------------
-    def _resolve_sa(self, all_intvs):
-        """Batch all (interval, occurrence) SA probes across reads; returns
-        per-read dicts {(x0, k): rbeg} (mem_chain's sa_lookup contract)."""
-        opt = self.opt
-        rows = []
-        owners = []  # (read_idx, x0, k)
-        for ridx, intvs in enumerate(all_intvs):
-            for p in intvs:
-                step = p.s // opt.max_occ if p.s > opt.max_occ else 1
-                k = 0
-                count = 0
-                while k < p.s and count < opt.max_occ:
-                    rows.append(p.x0 + k)
-                    owners.append((ridx, p.x0, k))
-                    k += step
-                    count += 1
-        luts = [dict() for _ in all_intvs]
-        if not rows:
-            return luts
-        rows = np.asarray(rows, dtype=np.int64)
+    def resolve_sa_flat(self, all_intvs):
+        """Batch all (interval, occurrence) SA probes across reads on
+        device; returns (vals int64[NO], off int64[n+1], owners) in
+        chain_native.sa_probe_layout enumeration order — the layout both
+        the native chain stage and the dict-based Python path consume."""
+        from ..ops.chain_native import sa_probe_layout
+        rows, offs, owners = sa_probe_layout(self.opt, all_intvs)
+        vals_all = np.empty(len(rows), dtype=np.int64)
+        if not len(rows):
+            return vals_all, offs, owners
         # dispatch every chunk with async fetch before touching results:
         # the tunnel pipelines overlapping transfers (~30 ms fixed each,
         # near-free when >= 2 are in flight)
@@ -157,9 +147,16 @@ class BatchAligner:
             for j in np.nonzero(ovf)[0]:
                 vals[j] = fmops.bwt_sa(self.fm, int(chunk[j]))
                 self.stats["sa_host_redo"] += 1
-            for j, v in enumerate(vals):
-                ridx, x0, k = owners[off + j]
-                luts[ridx][(x0, k)] = int(v)
+            vals_all[off:off + len(chunk)] = vals
+        return vals_all, offs, owners
+
+    def _resolve_sa(self, all_intvs):
+        """Per-read dicts {(x0, k): rbeg} (mem_chain's sa_lookup
+        contract) — the Python chain path's view of resolve_sa_flat."""
+        vals, _, owners = self.resolve_sa_flat(all_intvs)
+        luts = [dict() for _ in all_intvs]
+        for (ridx, x0, k), v in zip(owners, vals):
+            luts[ridx][(x0, k)] = int(v)
         return luts
 
     # ------------------------------------------------------------------
@@ -189,21 +186,43 @@ class BatchAligner:
         """Stage 1: device SMEM seeding (long reads fall back inside)."""
         return self.seeds_collect(self.seeds_dispatch(seqs))
 
-    def chain_reads(self, seqs, all_intvs, luts):
-        """Stage 3: host chaining (exact bwa semantics)."""
+    @staticmethod
+    def _luts_from(owners, vals, n):
+        luts = [dict() for _ in range(n)]
+        for (ridx, x0, k), v in zip(owners, vals):
+            luts[ridx][(x0, k)] = int(v)
+        return luts
+
+    def _chain_python(self, seq, intvs, lut):
         opt, fm = self.opt, self.fm
-        all_chains = []
-        for seq, intvs, lut in zip(seqs, all_intvs, luts):
-            if len(seq) < opt.min_seed_len:
-                all_chains.append([])
-                continue
-            chains = chainops.mem_chain(
-                opt, fm, len(seq), intvs,
-                sa_lookup=lambda x0, k, _lut=lut: _lut[(x0, k)])
-            chains = chainops.mem_chain_flt(opt, chains)
-            chainops.mem_flt_chained_seeds(opt, fm, len(seq), seq, chains)
-            all_chains.append(chains)
-        return all_chains
+        if len(seq) < opt.min_seed_len:
+            return []
+        chains = chainops.mem_chain(
+            opt, fm, len(seq), intvs,
+            sa_lookup=lambda x0, k, _lut=lut: _lut[(x0, k)])
+        chains = chainops.mem_chain_flt(opt, chains)
+        chainops.mem_flt_chained_seeds(opt, fm, len(seq), seq, chains)
+        return chains
+
+    def chain_reads(self, seqs, all_intvs, sa_flat):
+        """Stage 3: host chaining (exact bwa semantics) — native C++ when
+        the _chain extension is built, Python otherwise; long reads the
+        seed-SW filter applies to always take the Python path."""
+        from ..ops import chain_native
+        vals, off, owners = sa_flat
+        if chain_native.available():
+            out = chain_native.chain_batch(self.opt, self.fm, seqs,
+                                           all_intvs, vals, off)
+            need = [r for r, c in enumerate(out) if c is None]
+            if need:
+                luts = self._luts_from(owners, vals, len(seqs))
+                for r in need:
+                    out[r] = self._chain_python(seqs[r], all_intvs[r],
+                                                luts[r])
+            return out
+        luts = self._luts_from(owners, vals, len(seqs))
+        return [self._chain_python(s, iv, lut)
+                for s, iv, lut in zip(seqs, all_intvs, luts)]
 
     def align_regs(self, seqs: list[np.ndarray]) -> list:
         """Seed+chain+extend+dedup for a batch of encoded reads; returns
@@ -217,8 +236,8 @@ class BatchAligner:
         self._batch_no += 1
         try:
             all_intvs = self.collect_seeds(seqs)
-            luts = self._resolve_sa(all_intvs)
-            all_chains = self.chain_reads(seqs, all_intvs, luts)
+            sa_flat = self.resolve_sa_flat(all_intvs)
+            all_chains = self.chain_reads(seqs, all_intvs, sa_flat)
             all_regs = self.extend_waves(seqs, all_chains)
         except Exception as e:  # device/tunnel failure: degrade for good
             import sys

@@ -169,7 +169,14 @@ class AlignPipeline:
             self.pool.join()
 
     # -- stage drivers -------------------------------------------------
-    def _chains(self, seqs, intvs, luts):
+    def _chains(self, seqs, intvs, sa_flat):
+        from ..ops import chain_native
+        if chain_native.available():
+            # native C++ stage: fast enough for the main thread (no
+            # pickle round trips through the pool)
+            return self.ba.chain_reads(seqs, intvs, sa_flat)
+        vals, _, owners = sa_flat
+        luts = BatchAligner._luts_from(owners, vals, len(seqs))
         work = list(zip(seqs, intvs, luts))
         if self.pool is None:
             return _chain_worker(work)
@@ -299,7 +306,7 @@ class AlignPipeline:
                     with tracer.span("seed"):
                         intvs = self.ba.seeds_collect(cur_h)
                     with tracer.span("sa"):
-                        luts = self.ba._resolve_sa(intvs)
+                        luts = self.ba.resolve_sa_flat(intvs)
                 except Exception as e:
                     self._degrade(e)
             nxt = next(it, None)

@@ -17,6 +17,11 @@ setup(
             "bwa_flow_tpu._native",
             sources=["native/_native.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
-        )
+        ),
+        Extension(
+            "bwa_flow_tpu._chain",
+            sources=["native/_chain.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )
