@@ -197,10 +197,16 @@ class AlignPipeline:
 
         def work_pe():
             from ..ops import pe as peops
-            # phase 1: dedup/patch (pool) — pestat must see dedup'd regs
-            regs2 = self._run_parts(
-                _dedup_worker,
-                [(r.seq, all_regs[i]) for i, r in enumerate(batch)])
+            from ..ops import region_native
+            # phase 1: dedup/patch — native C++ (GIL released) when built,
+            # else pool workers; pestat must see dedup'd regs
+            if region_native.available():
+                regs2 = region_native.dedup_batch(
+                    self.opt, self.fm, [r.seq for r in batch], all_regs)
+            else:
+                regs2 = self._run_parts(
+                    _dedup_worker,
+                    [(r.seq, all_regs[i]) for i, r in enumerate(batch)])
             pes = self.pes0 if self.pes0 is not None else peops.mem_pestat(
                 self.opt, self.fm.bns.l_pac, regs2)
             # phase 2: pairing + SAM (pool)
@@ -223,6 +229,21 @@ class AlignPipeline:
                 batch[2 * i + 1].sam = s2
 
         def work_se():
+            from ..ops import region_native
+            if region_native.se_tail_ok(self.opt, batch):
+                # native C++ tail runs with the GIL released in this
+                # thread: dedup+primary+mapq+cigar+SAM overlap the main
+                # thread's device driving
+                ids = [r.id for r in batch]
+                for i, r in enumerate(batch):
+                    r.id = n_processed + i
+                sams = region_native.se_tail_batch(
+                    self.opt, self.fm, batch, all_regs,
+                    _G.get("rg_id", ""))
+                for r, s, rid in zip(batch, sams, ids):
+                    r.sam = s
+                    r.id = rid
+                return
             work = [(r.seq, r.name, r.qual, r.comment, all_regs[i],
                      n_processed + i) for i, r in enumerate(batch)]
             sams = self._run_parts(_se_tail_worker, work)

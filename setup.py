@@ -23,5 +23,10 @@ setup(
             sources=["native/_chain.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "bwa_flow_tpu._region",
+            sources=["native/_region.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )
