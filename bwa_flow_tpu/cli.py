@@ -341,13 +341,14 @@ def main_mem(argv: list[str]) -> int:
 
     if args.no_device:
         from .models import golden
-        n_processed = 0
         for chunk in batches():
+            # read ids are global across ranks/batches: the hash_64
+            # primary tie-break must not depend on rank-local counting
+            base = chunk[0].id if chunk else 0
             if paired:
-                golden.align_pe(opt, fm, chunk, n_processed, pes0, rg)
+                golden.align_pe(opt, fm, chunk, base, pes0, rg)
             else:
-                golden.align_se(opt, fm, chunk, n_processed, rg)
-            n_processed += len(chunk)
+                golden.align_se(opt, fm, chunk, base, rg)
             emit(chunk)
     else:
         from .pipeline.dataflow import AlignPipeline

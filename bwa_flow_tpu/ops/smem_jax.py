@@ -310,18 +310,28 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
     return out["mems"], out["n_mem"], out["ovf"] | (out["mode"] != 3)
 
 
+MAXO = 64  # per-read SA-occurrence budget for the fused seed+SA output
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
                         ITERS: int, q: jnp.ndarray, qlen: jnp.ndarray,
                         min_seed_len: jnp.ndarray, split_len: jnp.ndarray,
-                        split_width: jnp.ndarray, max_mem_intv: jnp.ndarray
-                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                        split_width: jnp.ndarray, max_mem_intv: jnp.ndarray,
+                        max_occ: jnp.ndarray
+                        ) -> tuple[jnp.ndarray, ...]:
     """All seeding intervals for a batch of reads (mem_collect_intv,
     bwa/bwamem.c:120-168), sorted by info.
 
     q: int32[B, L] (0..4; pad >= 4 beyond qlen); qlen int32[B].
     Returns (mems int64[B, 4, MAXM] = (k, l, s, info) rows, n_mem int32[B],
-    overflow bool[B])."""
+    overflow bool[B], occ_sa int64[B, MAXO], occ_total int32[B]).
+
+    When the genome carries a dense device SA, the call also resolves the
+    seed occurrences' SA values on device (mem_chain's x0+k enumeration,
+    capped at max_occ per interval) so a typical batch needs NO separate
+    SA round trip; reads whose total occurrence count exceeds MAXO are
+    resolved by the caller through the probe path."""
     B = q.shape[0]
     c = _MachineConsts(L, MAXB, MAXM, ITERS)
 
@@ -380,15 +390,45 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
                     jnp.iinfo(jnp.int64).max)
     order = jnp.argsort(key, axis=1)
     mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)
-    return mems, n_mem, ovf
+
+    # fused on-device SA resolution of the occurrence enumeration
+    if dfm.sa_dense is not None:
+        valid = slot_i < n_mem[:, None]
+        s_col = jnp.where(valid, mems[:, 2, :], 0)           # [B, MAXM]
+        x0_col = mems[:, 0, :]
+        over = s_col > max_occ
+        cnt = jnp.where(over, max_occ, s_col)
+        step = jnp.where(over, s_col // jnp.maximum(max_occ, 1), 1)
+        cum = jnp.cumsum(cnt, axis=1)
+        cum0 = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int64), cum[:, :-1]], axis=1)
+        occ_total = cum[:, -1].astype(I32)
+        oo = jnp.arange(MAXO, dtype=jnp.int64)[None, :]      # [1, MAXO]
+
+        def fill(j, rows):
+            lo = jax.lax.dynamic_index_in_dim(cum0, j, 1)     # [B, 1]
+            hi = jax.lax.dynamic_index_in_dim(cum, j, 1)
+            x0j = jax.lax.dynamic_index_in_dim(x0_col, j, 1)
+            stj = jax.lax.dynamic_index_in_dim(step, j, 1)
+            m = (oo >= lo) & (oo < hi)
+            return jnp.where(m, x0j + (oo - lo) * stj, rows)
+
+        rows = jax.lax.fori_loop(0, MAXM, fill,
+                                 jnp.zeros((B, MAXO), jnp.int64))
+        idx = jnp.clip(rows, 0, dfm.sa_dense.shape[0] - 1).astype(I32)
+        occ_sa = dfm.sa_dense[idx].astype(jnp.int64)
+    else:
+        occ_sa = jnp.zeros((B, MAXO), jnp.int64)
+        occ_total = jnp.full((B,), -1, I32)   # sentinel: not resolved
+    return mems, n_mem, ovf, occ_sa, occ_total
 
 
 _OPT_CACHE: dict = {}
 
 
 @jax.jit
-def _pack_meta(n_mem, ovf):
-    return jnp.stack([n_mem.astype(I32), ovf.astype(I32)])
+def _pack_meta(n_mem, ovf, occ_total):
+    return jnp.stack([n_mem.astype(I32), ovf.astype(I32), occ_total])
 
 
 def pad_reads(reads: list[np.ndarray], L: int
@@ -439,20 +479,22 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
         q, qlen = pad_reads(reads, L)
         q_dev, qlen_dev = jnp.asarray(q), jnp.asarray(qlen)
     key = (id(opt), opt.min_seed_len, opt.split_len, opt.split_width,
-           opt.max_mem_intv)
+           opt.max_mem_intv, opt.max_occ)
     params = _OPT_CACHE.get(key)
     if params is None:
         params = (jnp.asarray(opt.min_seed_len, I32),
                   jnp.asarray(opt.split_len, I32),
                   jnp.asarray(opt.split_width, I32),
-                  jnp.asarray(opt.max_mem_intv, I64))
+                  jnp.asarray(opt.max_mem_intv, I64),
+                  jnp.asarray(opt.max_occ, I64))
         _OPT_CACHE[key] = params
-    mems, n_mem, ovf = collect_intv_device(
+    mems, n_mem, ovf, occ_sa, occ_total = collect_intv_device(
         dfm, L, MAXB, MAXM, L * iters_factor, q_dev, qlen_dev, *params)
     return dict(
         reads=reads, opt=opt, fm=fm, L=L, MAXM=MAXM,
         q_dev=q_dev, mems=mems,
-        meta=_start_fetch(_pack_meta(n_mem, ovf)),
+        meta=_start_fetch(_pack_meta(n_mem, ovf, occ_total)),
+        occ_sa=_start_fetch(occ_sa),
         head=_start_fetch(_mems_slice(mems, min(SEED_HEAD, MAXM))))
 
 
@@ -466,6 +508,7 @@ def seed_collect(handle: dict, fetch=np.asarray
     meta = fetch(handle["meta"])
     n_mem = meta[0]
     ovf = meta[1] != 0
+    occ_total = meta[2]
     used = int(n_mem.max()) if len(n_mem) else 0
     if used <= min(SEED_HEAD, MAXM):
         mems = fetch(handle["head"])
@@ -476,6 +519,11 @@ def seed_collect(handle: dict, fetch=np.asarray
         width = min(width, MAXM)
         mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
     out = []
+    # per-read fused SA values (device enumeration) or None when the read
+    # must go through the probe path (redone on host / budget exceeded /
+    # no dense SA)
+    sa_vals: list = [None] * len(reads)
+    occ_np = None
     Intv = smem_golden.Intv
     for b, r in enumerate(reads):
         if ovf[b] or len(r) > L:
@@ -483,6 +531,12 @@ def seed_collect(handle: dict, fetch=np.asarray
             continue
         rows = mems[b, :, :n_mem[b]].T.tolist()  # one bulk conversion
         out.append([Intv(k, l, s, info) for k, l, s, info in rows])
+        t = int(occ_total[b])
+        if 0 <= t <= MAXO:
+            if occ_np is None:
+                occ_np = fetch(handle["occ_sa"])
+            sa_vals[b] = occ_np[b, :t]
+    handle["sa_vals"] = sa_vals
     return out
 
 

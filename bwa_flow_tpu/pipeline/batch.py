@@ -112,16 +112,36 @@ class BatchAligner:
         return box["v"]
 
     # ------------------------------------------------------------------
-    def resolve_sa_flat(self, all_intvs):
+    def resolve_sa_flat(self, all_intvs, seed_handle: dict | None = None):
         """Batch all (interval, occurrence) SA probes across reads on
         device; returns (vals int64[NO], off int64[n+1], owners) in
         chain_native.sa_probe_layout enumeration order — the layout both
-        the native chain stage and the dict-based Python path consume."""
+        the native chain stage and the dict-based Python path consume.
+
+        When the seed handle carries fused on-device SA values (dense-SA
+        genomes; collect_intv_device resolves the occurrence enumeration
+        in the same call), those reads need no probe round trip at all."""
         from ..ops.chain_native import sa_probe_layout
         rows, offs, owners = sa_probe_layout(self.opt, all_intvs)
         vals_all = np.empty(len(rows), dtype=np.int64)
         if not len(rows):
             return vals_all, offs, owners
+        need = None
+        sav = (seed_handle or {}).get("sa_vals")
+        if sav is not None:
+            need_idx = []
+            for r in range(len(all_intvs)):
+                lo, hi = int(offs[r]), int(offs[r + 1])
+                v = sav[r] if r < len(sav) else None
+                if v is not None and len(v) == hi - lo:
+                    vals_all[lo:hi] = v
+                else:
+                    need_idx.append((lo, hi))
+            if not need_idx:
+                return vals_all, offs, owners
+            need = np.concatenate(
+                [np.arange(lo, hi) for lo, hi in need_idx])
+            rows = rows[need]
         # dispatch every chunk with async fetch before touching results:
         # the tunnel pipelines overlapping transfers (~30 ms fixed each,
         # near-free when >= 2 are in flight)
@@ -147,7 +167,10 @@ class BatchAligner:
             for j in np.nonzero(ovf)[0]:
                 vals[j] = fmops.bwt_sa(self.fm, int(chunk[j]))
                 self.stats["sa_host_redo"] += 1
-            vals_all[off:off + len(chunk)] = vals
+            if need is None:
+                vals_all[off:off + len(chunk)] = vals
+            else:
+                vals_all[need[off:off + len(chunk)]] = vals
         return vals_all, offs, owners
 
     def _resolve_sa(self, all_intvs):
@@ -235,8 +258,9 @@ class BatchAligner:
             return [golden.mem_align1_core(opt, fm, seq) for seq in seqs]
         self._batch_no += 1
         try:
-            all_intvs = self.collect_seeds(seqs)
-            sa_flat = self.resolve_sa_flat(all_intvs)
+            h = self.seeds_dispatch(seqs)
+            all_intvs = self.seeds_collect(h)
+            sa_flat = self.resolve_sa_flat(all_intvs, h)
             all_chains = self.chain_reads(seqs, all_intvs, sa_flat)
             all_regs = self.extend_waves(seqs, all_chains)
         except Exception as e:  # device/tunnel failure: degrade for good

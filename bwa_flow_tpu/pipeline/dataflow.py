@@ -190,9 +190,11 @@ class AlignPipeline:
         parts = self.pool.map(fn, _slices(work, self.n_workers))
         return [x for p in parts for x in p]
 
-    def _tail_async(self, batch, all_regs, n_processed):
+    def _tail_async(self, batch, all_regs):
         """Run the post-extension tail in a background thread (its phases
-        use the worker pool); returns join() -> the finished batch."""
+        use the worker pool); returns join() -> the finished batch.
+        Read ids (global across ranks/batches) drive the hash_64 primary
+        tie-break, so sharded runs produce rank-independent output."""
         import threading
 
         def work_pe():
@@ -217,7 +219,7 @@ class AlignPipeline:
                 pairs.append(((r1.seq, r1.name, r1.qual, r1.comment),
                               (r2.seq, r2.name, r2.qual, r2.comment),
                               regs2[j], regs2[j + 1],
-                              (n_processed >> 1) + i))
+                              r1.id >> 1))
             if self.pool is None:
                 sams = _pe_pair_worker((pes, pairs))
             else:
@@ -234,18 +236,14 @@ class AlignPipeline:
                 # native C++ tail runs with the GIL released in this
                 # thread: dedup+primary+mapq+cigar+SAM overlap the main
                 # thread's device driving
-                ids = [r.id for r in batch]
-                for i, r in enumerate(batch):
-                    r.id = n_processed + i
                 sams = region_native.se_tail_batch(
                     self.opt, self.fm, batch, all_regs,
                     _G.get("rg_id", ""))
-                for r, s, rid in zip(batch, sams, ids):
+                for r, s in zip(batch, sams):
                     r.sam = s
-                    r.id = rid
                 return
             work = [(r.seq, r.name, r.qual, r.comment, all_regs[i],
-                     n_processed + i) for i, r in enumerate(batch)]
+                     r.id) for i, r in enumerate(batch)]
             sams = self._run_parts(_se_tail_worker, work)
             for r, s in zip(batch, sams):
                 r.sam = s
@@ -327,7 +325,7 @@ class AlignPipeline:
                     with tracer.span("seed"):
                         intvs = self.ba.seeds_collect(cur_h)
                     with tracer.span("sa"):
-                        luts = self.ba.resolve_sa_flat(intvs)
+                        luts = self.ba.resolve_sa_flat(intvs, cur_h)
                 except Exception as e:
                     self._degrade(e)
             nxt = next(it, None)
@@ -360,7 +358,7 @@ class AlignPipeline:
             if pending is not None:
                 with tracer.span("emit_wait"):
                     emit(pending())
-            pending = self._tail_async(cur, regs, n_processed)
+            pending = self._tail_async(cur, regs)
             n_processed += len(cur)
             cur, cur_h = nxt, nxt_h
         if pending is not None:

@@ -1,0 +1,65 @@
+"""--nprocs 2 output equality vs a single-process run (verdict task 5).
+
+Two CPU ranks share a jax.distributed coordinator, align strided batch
+shards of the same FASTQ, and the union of their SAM records must equal
+the 1-process run exactly (read-id-stable sharding: every rank numbers
+all batches, aligns only its own)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import oracle as orc
+
+pytestmark = pytest.mark.skipif(orc.build_oracle() is None,
+                                reason="fixture tooling unavailable")
+
+
+def _run_mem(args, env):
+    r = subprocess.run([sys.executable, "-m", "bwa_flow_tpu", "mem"]
+                       + args, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_two_rank_equality(tmp_path):
+    rng = np.random.default_rng(77)
+    contigs = orc.make_ref(rng, [("chr1", 20000)], repeat_frac=0.1)
+    ref = tmp_path / "ref.fa"
+    orc.write_fasta(ref, contigs)
+    orc.oracle_index(ref)
+    reads = orc.sample_se(rng, contigs, 200, read_len=101)
+    fq = tmp_path / "r.fq"
+    orc.write_fastq(fq, reads)
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "PYTHONPATH": "/root/repo:/root/.axon_site",
+           "JAX_PLATFORMS": "cpu"}
+    # single-process reference run (-K small: several batches)
+    base = ["--no-device", "--disable-markdup", "-K", "4000",
+            str(ref), str(fq)]
+    _run_mem(["-o", str(tmp_path / "one.sam")] + base, env)
+    # two ranks sharing a coordinator
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "bwa_flow_tpu", "mem",
+             "--nprocs", "2", "--proc-id", str(pid),
+             "--coordinator", "127.0.0.1:9923",
+             "-o", str(tmp_path / "two.sam")] + base,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env))
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+
+    def body(path):
+        return [l for l in path.read_text().splitlines()
+                if not l.startswith("@")]
+
+    one = body(tmp_path / "one.sam")
+    two = body(tmp_path / "two.part000.sam") + \
+        body(tmp_path / "two.part001.sam")
+    assert len(one) == len(two)
+    assert sorted(one) == sorted(two)

@@ -29,7 +29,7 @@ def test_device_exception_degrades_to_host(small_index, rng, monkeypatch):
     want = copy.deepcopy(reads)
     golden.align_se(opt, fm, want)
     ba = BatchAligner(opt, fm, wave_cap=32)
-    monkeypatch.setattr(ba, "collect_seeds",
+    monkeypatch.setattr(ba, "seeds_dispatch",
                         lambda seqs: (_ for _ in ()).throw(
                             RuntimeError("tunnel lost")))
     ba.align_se(reads)
