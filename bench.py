@@ -101,20 +101,20 @@ def make_ext_tasks(rng, genome, n, mut=0.01):
 def bench_extend(rng, genome, opt):
     """Banded-extension kernel throughput (the Pallas VMEM kernel — the
     production wave path on TPU; falls back to the XLA core off-TPU)."""
-    from bwa_flow_tpu.ops.extend_pallas import extend_core_pallas
+    from bwa_flow_tpu.ops.extend_pallas import _extend_pallas_jit
     query, qlen, target, tlen, h0 = make_ext_tasks(rng, genome, B_EXT)
     mat = jnp.asarray(opt.mat[:5, :5], jnp.int32)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     args = [jnp.asarray(a) for a in (query, qlen, target, tlen, h0)]
     wv = jnp.full(B_EXT, opt.w, jnp.int32)
     scal = [mat, i32(opt.o_del), i32(opt.e_del), i32(opt.o_ins),
-            i32(opt.e_ins), wv, 5, opt.zdrop]
-    out = extend_core_pallas(QMAX, TMAX, *args, *scal)  # compile
+            i32(opt.e_ins), wv, 5, 100]
+    out = _extend_pallas_jit(QMAX, TMAX, 256, False, *args, *scal)
     jax.block_until_ready(out)
     t0 = time.time()
     iters = 20
     for _ in range(iters):
-        out = extend_core_pallas(QMAX, TMAX, *args, *scal)
+        out = _extend_pallas_jit(QMAX, TMAX, 256, False, *args, *scal)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
     cells = float((qlen.astype(np.int64) * tlen).sum())
@@ -257,12 +257,15 @@ def main():
     print(f"# smem seeding: {smem_rps:.0f} reads/s", file=sys.stderr)
     e2e_rps, stats = bench_e2e(rng, genome, fm, opt)
     print(f"# e2e: {e2e_rps:.0f} reads/s  {stats}", file=sys.stderr)
+    from bwa_flow_tpu.utils.trace import GLOBAL as _tr
+    print("# SE spans:\n" + _tr.report(), file=sys.stderr)
+    _tr.totals.clear()
+    _tr.counts.clear()
     pe_rps = bench_e2e_pe(rng, genome, fm, opt)
     print(f"# e2e PE: {pe_rps:.0f} reads/s", file=sys.stderr)
+    print("# PE spans:\n" + _tr.report(), file=sys.stderr)
     host_rps = bench_host_oracle(rng, genome, fm, opt)
     print(f"# host golden (1 core): {host_rps:.1f} reads/s", file=sys.stderr)
-    from bwa_flow_tpu.utils.trace import GLOBAL as _tr
-    print("# spans:\n" + _tr.report(), file=sys.stderr)
 
     print(json.dumps({
         "metric": "e2e_se_reads_per_s",

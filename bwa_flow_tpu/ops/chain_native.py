@@ -26,26 +26,47 @@ def available() -> bool:
     return _ext is not None
 
 
-def sa_probe_layout(opt: MemOpt, all_intvs) -> tuple[np.ndarray, np.ndarray,
-                                                     list]:
+def sa_probe_layout(opt: MemOpt, all_intvs, build_owners: bool = True
+                    ) -> tuple[np.ndarray, np.ndarray, list | None]:
     """Occurrence enumeration shared by SA resolution and chaining:
     (rows int64[NO] of interval coordinates x0+k, off int64[n+1] per-read
-    boundaries, owners [(read, x0, k)] for the dict-based Python path)."""
+    boundaries, owners [(read, x0, k)] for the dict-based Python path).
+    owners is skipped (None) when the native chain stage serves — its
+    construction is the costly part of this pure-Python loop."""
     rows: list[int] = []
-    owners: list[tuple[int, int, int]] = []
+    owners: list[tuple[int, int, int]] | None =         [] if build_owners else None
+    max_occ = opt.max_occ
     off = np.zeros(len(all_intvs) + 1, np.int64)
     for ridx, intvs in enumerate(all_intvs):
         for p in intvs:
-            step = p.s // opt.max_occ if p.s > opt.max_occ else 1
-            k = 0
-            count = 0
-            while k < p.s and count < opt.max_occ:
-                rows.append(p.x0 + k)
-                owners.append((ridx, p.x0, k))
-                k += step
-                count += 1
+            s_, x0 = p.s, p.x0
+            if s_ > max_occ:
+                step = s_ // max_occ
+                ks = range(0, min(s_, step * max_occ), step)
+            else:
+                ks = range(s_)
+            rows.extend(x0 + k for k in ks)
+            if owners is not None:
+                owners.extend((ridx, x0, k) for k in ks)
         off[ridx + 1] = len(rows)
     return np.asarray(rows, dtype=np.int64), off, owners
+
+
+def owners_for(opt: MemOpt, all_intvs) -> list:
+    """Rebuild the owners triplets (lazy path for Python fallbacks)."""
+    return sa_probe_layout(opt, all_intvs, build_owners=True)[2]
+
+
+def ann_arrays(fm: FMIndex):
+    """Cached (contig offsets int64, is_alt uint8) for an index."""
+    key = id(fm)
+    cache = _ANN_CACHE.get(key)
+    if cache is None:
+        anns = fm.bns.anns
+        cache = (np.array([a.offset for a in anns], np.int64),
+                 np.array([1 if a.is_alt else 0 for a in anns], np.uint8))
+        _ANN_CACHE[key] = cache
+    return cache
 
 
 def chain_batch(opt: MemOpt, fm: FMIndex, seqs, all_intvs,
@@ -74,13 +95,7 @@ def chain_batch(opt: MemOpt, fm: FMIndex, seqs, all_intvs,
         iv_off[r + 1] = i
     bns = fm.bns
     anns = bns.anns
-    key = id(fm)
-    cache = _ANN_CACHE.get(key)
-    if cache is None:
-        cache = (np.array([a.offset for a in anns], np.int64),
-                 np.array([1 if a.is_alt else 0 for a in anns], np.uint8))
-        _ANN_CACHE[key] = cache
-    ann_off, ann_alt = cache
+    ann_off, ann_alt = ann_arrays(fm)
     res = _ext.chain_batch(
         l_query, iv_off, x0, sv, st, en,
         np.ascontiguousarray(sa_off, np.int64),

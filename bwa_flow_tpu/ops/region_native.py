@@ -77,10 +77,14 @@ def pack_regs(reg_lists) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return rows, frac, off
 
 
-def unpack_regs(rows_b: bytes, frac_b: bytes, off_b: bytes) -> list:
-    rows = np.frombuffer(rows_b, np.int64).reshape(-1, _REG_NF)
-    frac = np.frombuffer(frac_b, np.float64)
-    off = np.frombuffer(off_b, np.int64)
+def unpack_regs(rows_b, frac_b, off_b) -> list:
+    """bytes or ndarray packed regions -> AlnReg lists."""
+    rows = np.frombuffer(rows_b, np.int64).reshape(-1, _REG_NF) \
+        if isinstance(rows_b, bytes) else rows_b.reshape(-1, _REG_NF)
+    frac = np.frombuffer(frac_b, np.float64) \
+        if isinstance(frac_b, bytes) else frac_b
+    off = np.frombuffer(off_b, np.int64) \
+        if isinstance(off_b, bytes) else off_b
     out = []
     for r in range(len(off) - 1):
         regs = []
@@ -105,9 +109,10 @@ def se_tail_ok(opt: MemOpt, reads) -> bool:
 
 
 def se_tail_batch(opt: MemOpt, fm: FMIndex, reads, reg_lists,
-                  rg_id: str = "") -> list[str]:
+                  rg_id: str = "", packed=None) -> list[str]:
     """SAM text per read: dedup + alt flags + primary + (-5 reorder) +
-    reg2sam, all native."""
+    reg2sam, all native. `packed=(rows, frac, off)` skips AlnReg
+    marshaling entirely (native wave driver output feeds straight in)."""
     assert _ext is not None
     n = len(reads)
     seq_off = np.zeros(n + 1, np.int64)
@@ -128,7 +133,11 @@ def se_tail_batch(opt: MemOpt, fm: FMIndex, reads, reg_lists,
         com_off[i + 1] = com_off[i] + len(cm)
     com_cat = b"".join(comments)
     ids = np.array([r.id for r in reads], np.int64)
-    rows, frac, off = pack_regs(reg_lists)
+    if packed is not None:
+        rows, frac, off = packed
+        rows = np.ascontiguousarray(rows.reshape(-1, _REG_NF))
+    else:
+        rows, frac, off = pack_regs(reg_lists)
     ann_off, ann_alt, ann_name_cat, ann_name_off, pac = _bns_arrays(fm)
     opti, optf, mat = _opt_arrays(opt)
     sams = _ext.se_tail_batch(

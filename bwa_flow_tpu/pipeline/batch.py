@@ -121,8 +121,13 @@ class BatchAligner:
         When the seed handle carries fused on-device SA values (dense-SA
         genomes; collect_intv_device resolves the occurrence enumeration
         in the same call), those reads need no probe round trip at all."""
+        from ..ops import chain_native
         from ..ops.chain_native import sa_probe_layout
-        rows, offs, owners = sa_probe_layout(self.opt, all_intvs)
+        # owners triplets only serve the dict-based Python chain path;
+        # with the native stage they are rebuilt lazily for fallbacks
+        rows, offs, owners = sa_probe_layout(
+            self.opt, all_intvs,
+            build_owners=not chain_native.available())
         vals_all = np.empty(len(rows), dtype=np.int64)
         if not len(rows):
             return vals_all, offs, owners
@@ -176,7 +181,10 @@ class BatchAligner:
     def _resolve_sa(self, all_intvs):
         """Per-read dicts {(x0, k): rbeg} (mem_chain's sa_lookup
         contract) — the Python chain path's view of resolve_sa_flat."""
+        from ..ops import chain_native
         vals, _, owners = self.resolve_sa_flat(all_intvs)
+        if owners is None:
+            owners = chain_native.owners_for(self.opt, all_intvs)
         luts = [dict() for _ in all_intvs]
         for (ridx, x0, k), v in zip(owners, vals):
             luts[ridx][(x0, k)] = int(v)
@@ -238,11 +246,15 @@ class BatchAligner:
                                            all_intvs, vals, off)
             need = [r for r, c in enumerate(out) if c is None]
             if need:
+                if owners is None:
+                    owners = chain_native.owners_for(self.opt, all_intvs)
                 luts = self._luts_from(owners, vals, len(seqs))
                 for r in need:
                     out[r] = self._chain_python(seqs[r], all_intvs[r],
                                                 luts[r])
             return out
+        if owners is None:
+            owners = chain_native.owners_for(self.opt, all_intvs)
         luts = self._luts_from(owners, vals, len(seqs))
         return [self._chain_python(s, iv, lut)
                 for s, iv, lut in zip(seqs, all_intvs, luts)]
@@ -258,11 +270,17 @@ class BatchAligner:
             return [golden.mem_align1_core(opt, fm, seq) for seq in seqs]
         self._batch_no += 1
         try:
+            from ..ops import wave_native
             h = self.seeds_dispatch(seqs)
             all_intvs = self.seeds_collect(h)
             sa_flat = self.resolve_sa_flat(all_intvs, h)
-            all_chains = self.chain_reads(seqs, all_intvs, sa_flat)
-            all_regs = self.extend_waves(seqs, all_chains)
+            if wave_native.available():
+                from ..ops import region_native
+                all_regs = region_native.unpack_regs(
+                    *self.extend_waves_packed(seqs, all_intvs, sa_flat))
+            else:
+                all_chains = self.chain_reads(seqs, all_intvs, sa_flat)
+                all_regs = self.extend_waves(seqs, all_chains)
         except Exception as e:  # device/tunnel failure: degrade for good
             import sys
             print(f"[W::align] device path failed ({e!r}); falling back "
@@ -311,8 +329,91 @@ class BatchAligner:
                     return True
         return False
 
-    def extend_waves(self, seqs: list[np.ndarray], all_chains) -> list:
+    def extend_waves_packed(self, seqs, all_intvs, sa_flat,
+                            on_started=None):
+        """Native chain + wave-driver path: per-read extension state
+        machines live in C++ (_wave), Python only moves descriptor waves
+        to the device; returns packed regions (rows, frac, off) that feed
+        the native tail directly. Long reads the seed-SW filter applies
+        to run through the golden Python path and are spliced in."""
+        import jax.numpy as jnp
+        from ..ops import wave_native
+        from ..ops.chain2aln_jax import seed_extend_desc_batch
+        from ..utils.trace import GLOBAL as tracer
+        buf = self.bufs[0]
+        cap, qmax, tmax = buf.cap, buf.qmax, buf.tmax
+        n = len(seqs)
+        dev_flags = np.fromiter(
+            (1 if (i < self._dev_reads_n and len(seqs[i]) <= self.smem_L)
+             else 0 for i in range(n)), np.uint8, n)
+        with tracer.span("wave.create"):
+            wd, needs = wave_native.create_driver(
+                self.opt, self.fm, seqs, all_intvs, sa_flat, dev_flags,
+                qmax, tmax, cap)
+        params = buf._params(self.opt)
+
+        def pack_run(si):
+            with tracer.span("wave.pack"):
+                r = wave_native.pack(wd, si)
+            if r is None:
+                return None
+            slots_b, desc_b = r
+            desc = np.frombuffer(desc_b, np.int64).reshape(11, cap)
+            with tracer.span("wave.dispatch"):
+                out = seed_extend_desc_batch(
+                    qmax, tmax, self.smem_L, self.dfm, self._dev_reads,
+                    jnp.asarray(desc), *params)
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self.stats["waves"] += 1
+            self.stats["ext_tasks_device"] += len(slots_b) // 4
+            return out
+
+        streams = [pack_run(0), pack_run(1)]
+        if on_started is not None:
+            on_started()
+        si = 0
+        while streams[0] is not None or streams[1] is not None:
+            if streams[si] is not None:
+                with tracer.span("wave.fetch"):
+                    out = self.fetch(streams[si])
+                with tracer.span("wave.apply"):
+                    wave_native.apply_results(wd, si, out)
+                streams[si] = pack_run(si)
+            o = 1 - si
+            if streams[o] is None:
+                streams[o] = pack_run(o)
+            si = o
+        self.stats["ext_tasks_host"] += wave_native.host_tasks(wd)
+        rows, frac, off = wave_native.finish(wd)
+        if needs:
+            from ..ops import chain_native
+            vals, offs, owners = sa_flat
+            if owners is None:
+                owners = chain_native.owners_for(self.opt, all_intvs)
+            luts = self._luts_from(owners, vals, n)
+            py = {}
+            for r in needs:
+                chains = self._chain_python(seqs[r], all_intvs[r], luts[r])
+                regs: list = []
+                for c in chains:
+                    regionops.mem_chain2aln(self.opt, self.fm,
+                                            len(seqs[r]), seqs[r], c, regs)
+                py[r] = regs
+                self.stats["ext_tasks_host"] += sum(
+                    len(c.seeds) for c in chains)
+            rows, frac, off = wave_native.splice(rows, frac, off, py)
+        return rows, frac, off
+
+    def extend_waves(self, seqs: list[np.ndarray], all_chains,
+                     on_started=None) -> list:
         """Stage 4: cross-read wave extension on device (no dedup).
+        `on_started()` fires once after the first wave rounds are on the
+        device — the driver uses it to enqueue the NEXT batch's seeding
+        behind the bulk of this batch's extension work (so most wave
+        results don't queue behind a ~200 ms seed program).
 
         Each wave runs ONE banded try per extension side; bwa's band
         doubling (bwamem.c:737-744) is driven from here: a task whose
@@ -445,6 +546,8 @@ class BatchAligner:
                     handle(ridx, rows[i])
 
         streams = [pack_and_run(self.bufs[0]), pack_and_run(self.bufs[1])]
+        if on_started is not None:
+            on_started()
         s = 0
         while streams[0] is not None or streams[1] is not None:
             if streams[s] is not None:

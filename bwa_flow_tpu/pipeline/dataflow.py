@@ -132,6 +132,11 @@ def _pe_pair_worker(arg):
     return out
 
 
+def _is_packed(regs) -> bool:
+    return isinstance(regs, tuple) and len(regs) == 4 \
+        and regs[0] == "packed"
+
+
 def _slices(items, n_slices):
     k = max(1, -(-len(items) // n_slices))
     return [items[i:i + k] for i in range(0, len(items), k)]
@@ -176,6 +181,8 @@ class AlignPipeline:
             # pickle round trips through the pool)
             return self.ba.chain_reads(seqs, intvs, sa_flat)
         vals, _, owners = sa_flat
+        if owners is None:
+            owners = chain_native.owners_for(self.opt, intvs)
         luts = BatchAligner._luts_from(owners, vals, len(seqs))
         work = list(zip(seqs, intvs, luts))
         if self.pool is None:
@@ -200,15 +207,17 @@ class AlignPipeline:
         def work_pe():
             from ..ops import pe as peops
             from ..ops import region_native
+            regs_in = region_native.unpack_regs(*all_regs[1:]) \
+                if _is_packed(all_regs) else all_regs
             # phase 1: dedup/patch — native C++ (GIL released) when built,
             # else pool workers; pestat must see dedup'd regs
             if region_native.available():
                 regs2 = region_native.dedup_batch(
-                    self.opt, self.fm, [r.seq for r in batch], all_regs)
+                    self.opt, self.fm, [r.seq for r in batch], regs_in)
             else:
                 regs2 = self._run_parts(
                     _dedup_worker,
-                    [(r.seq, all_regs[i]) for i, r in enumerate(batch)])
+                    [(r.seq, regs_in[i]) for i, r in enumerate(batch)])
             pes = self.pes0 if self.pes0 is not None else peops.mem_pestat(
                 self.opt, self.fm.bns.l_pac, regs2)
             # phase 2: pairing + SAM (pool)
@@ -235,14 +244,19 @@ class AlignPipeline:
             if region_native.se_tail_ok(self.opt, batch):
                 # native C++ tail runs with the GIL released in this
                 # thread: dedup+primary+mapq+cigar+SAM overlap the main
-                # thread's device driving
+                # thread's device driving; packed wave output feeds it
+                # without any AlnReg marshaling
+                packed = all_regs[1:] if _is_packed(all_regs) else None
                 sams = region_native.se_tail_batch(
-                    self.opt, self.fm, batch, all_regs,
-                    _G.get("rg_id", ""))
+                    self.opt, self.fm, batch,
+                    None if packed else all_regs,
+                    _G.get("rg_id", ""), packed=packed)
                 for r, s in zip(batch, sams):
                     r.sam = s
                 return
-            work = [(r.seq, r.name, r.qual, r.comment, all_regs[i],
+            regs_in = region_native.unpack_regs(*all_regs[1:]) \
+                if _is_packed(all_regs) else all_regs
+            work = [(r.seq, r.name, r.qual, r.comment, regs_in[i],
                      r.id) for i, r in enumerate(batch)]
             sams = self._run_parts(_se_tail_worker, work)
             for r, s in zip(batch, sams):
@@ -329,27 +343,47 @@ class AlignPipeline:
                 except Exception as e:
                     self._degrade(e)
             nxt = next(it, None)
-            nxt_h = None
-            if nxt is not None and self.ba.device_ok:
-                try:
-                    # device seeds batch N+1 while batch N's host stages
-                    # (chaining, wave packing/apply, tail) run
-                    nxt_h = self.ba.seeds_dispatch([r.seq for r in nxt])
-                except Exception as e:
-                    self._degrade(e)
+            nxt_box: dict = {}
+
+            def dispatch_next():
+                # device seeds batch N+1 once the first wave rounds of
+                # batch N are queued, so the bulk of this batch's wave
+                # results don't wait behind the seed program
+                if (nxt is not None and self.ba.device_ok
+                        and "h" not in nxt_box):
+                    try:
+                        nxt_box["h"] = self.ba.seeds_dispatch(
+                            [r.seq for r in nxt])
+                    except Exception as e:
+                        self._degrade(e)
+
             if intvs is not None and self.ba.device_ok:
                 try:
-                    with tracer.span("chain"):
-                        chains = self._chains(seqs, intvs, luts)
-                    with tracer.span("extend_waves"):
-                        regs = self.ba.extend_waves(seqs, chains)
+                    from ..ops import wave_native
+                    if wave_native.available():
+                        # chain + wave state machines fully native: C++
+                        # packs descriptor waves, Python only moves them
+                        with tracer.span("extend_waves"):
+                            regs = ("packed",) + self.ba.extend_waves_packed(
+                                seqs, intvs, luts, on_started=dispatch_next)
+                    else:
+                        with tracer.span("chain"):
+                            chains = self._chains(seqs, intvs, luts)
+                        with tracer.span("extend_waves"):
+                            regs = self.ba.extend_waves(
+                                seqs, chains, on_started=dispatch_next)
                 except Exception as e:
                     self._degrade(e)
                     regs = None
+            dispatch_next()
+            nxt_h = nxt_box.get("h")
             if regs is not None and self.ba.validate_every:
+                from ..ops import region_native
                 self.ba._batch_no += 1
                 if self.ba._batch_no % self.ba.validate_every == 0:
-                    if self._validate_sample(seqs, regs):
+                    check = region_native.unpack_regs(*regs[1:]) \
+                        if _is_packed(regs) else regs
+                    if self._validate_sample(seqs, check):
                         self._degrade("validation mismatch")
                         regs = None
             if regs is None:

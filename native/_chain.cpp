@@ -348,9 +348,103 @@ PyObject* py_chain_batch(PyObject*, PyObject* args) {
   return out;
 }
 
+// chain_batch_packed(... same args ...) -> (needs_py bytes[n],
+//   chain_off i64[n+1], chain_rid i32[NC], chain_frac f64[NC],
+//   seed_off i64[NC+1], seeds i64[NS*4])
+// Flat-array output feeding the native wave driver with zero Python
+// object churn; reads needing the Python fallback have zero chains here
+// and needs_py[r] = 1.
+PyObject* py_chain_batch_packed(PyObject*, PyObject* args) {
+  PyObject *lq_o, *ivo_o, *x0_o, *s_o, *st_o, *en_o, *sao_o, *sav_o,
+      *ao_o, *aa_o;
+  long long l_pac;
+  Opt opt;
+  if (!PyArg_ParseTuple(
+          args, "OOOOOOOOOOLiiiiiidd", &lq_o, &ivo_o, &x0_o, &s_o, &st_o,
+          &en_o, &sao_o, &sav_o, &ao_o, &aa_o, &l_pac, &opt.min_seed_len,
+          &opt.max_occ, &opt.max_chain_gap, &opt.w, &opt.min_chain_weight,
+          &opt.max_chain_extend, &opt.drop_ratio, &opt.mask_level))
+    return nullptr;
+  Py_buffer bufs[10];
+  PyObject* objs[10] = {lq_o, ivo_o, x0_o, s_o, st_o,
+                        en_o, sao_o, sav_o, ao_o, aa_o};
+  for (int i = 0; i < 10; ++i) {
+    if (!get_buf(objs[i], &bufs[i], "arg")) {
+      for (int j = 0; j < i; ++j) PyBuffer_Release(&bufs[j]);
+      return nullptr;
+    }
+  }
+  const int32_t* l_query = (const int32_t*)bufs[0].buf;
+  const int64_t* iv_off = (const int64_t*)bufs[1].buf;
+  const int64_t* iv_x0 = (const int64_t*)bufs[2].buf;
+  const int64_t* iv_s = (const int64_t*)bufs[3].buf;
+  const int32_t* iv_start = (const int32_t*)bufs[4].buf;
+  const int32_t* iv_end = (const int32_t*)bufs[5].buf;
+  const int64_t* sa_off = (const int64_t*)bufs[6].buf;
+  const int64_t* sa_vals = (const int64_t*)bufs[7].buf;
+  Bns bns{(const int64_t*)bufs[8].buf,
+          (int64_t)(bufs[8].len / sizeof(int64_t)),
+          (const uint8_t*)bufs[9].buf, (int64_t)l_pac};
+  int64_t n = (int64_t)(bufs[0].len / sizeof(int32_t));
+  (void)iv_x0;
+
+  std::vector<uint8_t> needs_py((size_t)n, 0);
+  std::vector<int64_t> chain_off{0};
+  std::vector<int32_t> chain_rid;
+  std::vector<double> chain_frac;
+  std::vector<int64_t> seed_off{0};
+  std::vector<int64_t> seeds_flat;
+  {
+    std::vector<ChainC> chains;
+    for (int64_t r = 0; r < n; ++r) {
+      int32_t lq = l_query[r];
+      double min_l = opt.min_chain_weight
+                         ? 1.1 * opt.min_chain_weight
+                         : 5.5 * std::log((double)lq);
+      if (lq >= opt.min_seed_len && !(min_l > 0.05 * lq)) {
+        needs_py[r] = 1;
+        chain_off.push_back((int64_t)chain_rid.size());
+        continue;
+      }
+      double frac_rep = 0.0;
+      mem_chain_one(opt, bns, lq, iv_off[r + 1] - iv_off[r],
+                    iv_x0 + iv_off[r], iv_s + iv_off[r],
+                    iv_start + iv_off[r], iv_end + iv_off[r],
+                    sa_vals + sa_off[r], &frac_rep, chains);
+      mem_chain_flt(opt, chains);
+      for (const ChainC& c : chains) {
+        chain_rid.push_back(c.rid);
+        chain_frac.push_back(frac_rep);
+        for (const SeedC& sd : c.seeds) {
+          seeds_flat.push_back(sd.rbeg);
+          seeds_flat.push_back(sd.qbeg);
+          seeds_flat.push_back(sd.len);
+          seeds_flat.push_back(sd.score);
+        }
+        seed_off.push_back((int64_t)(seeds_flat.size() / 4));
+      }
+      chain_off.push_back((int64_t)chain_rid.size());
+    }
+  }
+  for (int i = 0; i < 10; ++i) PyBuffer_Release(&bufs[i]);
+  auto mk_bytes = [](const void* p, size_t nbytes) {
+    return PyBytes_FromStringAndSize((const char*)p, (Py_ssize_t)nbytes);
+  };
+  return Py_BuildValue(
+      "(NNNNNN)",
+      mk_bytes(needs_py.data(), needs_py.size()),
+      mk_bytes(chain_off.data(), chain_off.size() * 8),
+      mk_bytes(chain_rid.data(), chain_rid.size() * 4),
+      mk_bytes(chain_frac.data(), chain_frac.size() * 8),
+      mk_bytes(seed_off.data(), seed_off.size() * 8),
+      mk_bytes(seeds_flat.data(), seeds_flat.size() * 8));
+}
+
 PyMethodDef methods[] = {
     {"chain_batch", py_chain_batch, METH_VARARGS,
      "batched seed chaining + chain filtering (exact golden semantics)"},
+    {"chain_batch_packed", py_chain_batch_packed, METH_VARARGS,
+     "chain_batch with flat-array output (feeds the native wave driver)"},
     {nullptr, nullptr, 0, nullptr}};
 
 struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_chain",

@@ -1,0 +1,704 @@
+// bwa_flow_tpu native wave driver (CPython extension).
+//
+// Per-read seed-extension state machines for the device wave loop — the
+// C++ counterpart of ops/region.py chain2aln_tasks + pipeline/batch.py's
+// wave driver (itself the analog of the reference's FPGA task pipeline,
+// /root/reference/src/fpga/FPGAPipeline.cpp:367-579). Python stepped
+// ~4k generators per batch on the critical path; here the driver holds
+// all state in C++: pack() fills a descriptor wave for the device,
+// apply() feeds results back (including the band-doubling retry stages),
+// oversized/non-resident tasks run inline on the exact scalar kernel,
+// and finish() emits packed regions straight into the native tail.
+// Byte-exact against the Python driver (tests/test_native_wave.py).
+//
+// Build: python setup.py build_ext --inplace  (g++, no external deps)
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "ksw_impl.h"
+
+namespace {
+
+constexpr int DESC_ROWS = 11;
+constexpr int OUT_ROWS = 12;
+constexpr int REG_NF = 12;
+
+struct Opt {
+  int32_t a, o_del, e_del, o_ins, e_ins, w, zdrop, pen_clip5, pen_clip3;
+  int8_t mat[25];
+};
+
+struct Bns {
+  const uint8_t* pac;
+  int64_t l_pac;
+  const int64_t* offsets;
+  int64_t n_ctg;
+
+  int32_t pos2rid(int64_t pos_f) const {
+    const int64_t* e = offsets + n_ctg;
+    return (int32_t)(std::upper_bound(offsets, e, pos_f) - offsets) - 1;
+  }
+  void get_seq(int64_t beg, int64_t end, std::vector<uint8_t>* out) const {
+    out->clear();
+    if (end < beg) std::swap(beg, end);
+    end = std::min(end, l_pac << 1);
+    beg = std::max(beg, (int64_t)0);
+    if (beg < l_pac && end > l_pac) return;
+    bool rev = beg >= l_pac;
+    int64_t bf = rev ? (l_pac << 1) - end : beg;
+    int64_t ef = rev ? (l_pac << 1) - beg : end;
+    out->reserve(ef - bf);
+    for (int64_t p = bf; p < ef; ++p)
+      out->push_back((pac[p >> 2] >> ((~p & 3) << 1)) & 3);
+    if (rev) {
+      std::reverse(out->begin(), out->end());
+      for (uint8_t& c : *out) c = 3 - c;
+    }
+  }
+  // golden fmindex.fetch_seq: clip [beg,end) to the contig containing mid
+  void fetch_clip(int64_t* beg, int64_t mid, int64_t* end,
+                  int32_t* rid) const {
+    int64_t pos_f = mid >= l_pac ? (l_pac << 1) - 1 - mid : mid;
+    bool is_rev = mid >= l_pac;
+    *rid = pos2rid(pos_f);
+    int64_t far_beg = offsets[*rid];
+    int64_t far_end = (*rid + 1 < n_ctg) ? offsets[*rid + 1] : l_pac;
+    if (is_rev) {
+      int64_t b = (l_pac << 1) - far_end;
+      int64_t e = (l_pac << 1) - far_beg;
+      far_beg = b;
+      far_end = e;
+    }
+    *beg = std::max(*beg, far_beg);
+    *end = std::min(*end, far_end);
+  }
+};
+
+struct Reg {
+  int64_t rb, re;
+  int32_t qb, qe, rid, score, truesc, w, seedcov, seedlen0, csub, is_alt;
+  double frac_rep;
+};
+
+struct Seed {
+  int64_t rbeg;
+  int32_t qbeg, len, score;
+};
+
+// golden region.py cal_max_gap (bwamem.c:630-637)
+int64_t cal_max_gap(const Opt& o, int64_t qlen) {
+  int64_t l_del = (int64_t)((double)(qlen * o.a - o.o_del) / o.e_del + 1.0);
+  int64_t l_ins = (int64_t)((double)(qlen * o.a - o.o_ins) / o.e_ins + 1.0);
+  int64_t l = std::max(std::max(l_del, l_ins), (int64_t)1);
+  return std::min(l, (int64_t)o.w << 1);
+}
+
+struct ReadState {
+  const uint8_t* seq = nullptr;
+  int32_t l_query = 0;
+  bool dev_ok = false;
+  // chain range in the packed arrays
+  int64_t chain_lo = 0, chain_hi = 0;
+  int64_t cur_chain = -1;      // absolute index; -1 = before first
+  // per-chain context
+  int64_t rmax0 = 0, rmax1 = 0;
+  int32_t chain_rid = 0;
+  double chain_frac = 0.0;
+  std::vector<Seed> seeds;           // current chain's seeds
+  std::vector<int32_t> srt;
+  std::vector<uint8_t> srt_alive;
+  int32_t k = -1;                    // srt cursor (descending)
+  std::vector<uint8_t> rseq;         // lazily fetched window
+  bool rseq_ready = false;
+  // in-flight task
+  bool in_flight = false;
+  int32_t stage = 0;
+  int64_t lfinal[6] = {0, 0, 0, 0, 0, 0};
+  Seed cur;                          // seed being extended
+  std::vector<Reg> regs;
+  bool done = false;
+};
+
+struct Driver {
+  Opt opt;
+  Bns bns;
+  int32_t qmax, tmax, cap;
+  // packed chain inputs (owned copies)
+  std::vector<int64_t> chain_off, seed_off, seeds_flat;
+  std::vector<int32_t> chain_rid;
+  std::vector<double> chain_frac;
+  std::vector<uint8_t> seq_store;
+  std::vector<int64_t> seq_off;
+  std::vector<ReadState> reads;
+  std::vector<std::vector<int32_t>> stream_slots;  // per stream
+  int64_t n_pending = 0;  // reads not done
+  int64_t n_host_tasks = 0;  // oversized/non-resident tasks run inline
+  std::vector<uint8_t>* pac_store = nullptr;
+  std::vector<int64_t>* ann_store = nullptr;
+  ~Driver() {
+    delete pac_store;
+    delete ann_store;
+  }
+};
+
+// ---------- chain setup + seed stepping ------------------------------
+
+void setup_chain(Driver& D, ReadState& R, int64_t ci) {
+  R.cur_chain = ci;
+  int64_t lo = D.seed_off[ci], hi = D.seed_off[ci + 1];
+  R.seeds.clear();
+  for (int64_t i = lo; i < hi; ++i) {
+    const int64_t* f = D.seeds_flat.data() + i * 4;
+    R.seeds.push_back(Seed{f[0], (int32_t)f[1], (int32_t)f[2],
+                           (int32_t)f[3]});
+  }
+  R.chain_rid = D.chain_rid[ci];
+  R.chain_frac = D.chain_frac[ci];
+  const Opt& o = D.opt;
+  int64_t l_pac = D.bns.l_pac;
+  int64_t rmax0 = l_pac << 1, rmax1 = 0;
+  for (const Seed& t : R.seeds) {
+    int64_t b = t.rbeg - (t.qbeg + cal_max_gap(o, t.qbeg));
+    int64_t e = t.rbeg + t.len +
+                ((R.l_query - t.qbeg - t.len) +
+                 cal_max_gap(o, R.l_query - t.qbeg - t.len));
+    rmax0 = std::min(rmax0, b);
+    rmax1 = std::max(rmax1, e);
+  }
+  rmax0 = std::max(rmax0, (int64_t)0);
+  rmax1 = std::min(rmax1, l_pac << 1);
+  if (rmax0 < l_pac && l_pac < rmax1) {
+    if (R.seeds[0].rbeg < l_pac) rmax1 = l_pac;
+    else rmax0 = l_pac;
+  }
+  int32_t rid = 0;
+  D.bns.fetch_clip(&rmax0, R.seeds[0].rbeg, &rmax1, &rid);
+  R.rmax0 = rmax0;
+  R.rmax1 = rmax1;
+  R.rseq.clear();
+  R.rseq_ready = false;
+  // srt: ascending (score, index); consumed from the top
+  int32_t n = (int32_t)R.seeds.size();
+  R.srt.resize(n);
+  for (int32_t i = 0; i < n; ++i) R.srt[i] = i;
+  std::stable_sort(R.srt.begin(), R.srt.end(),
+                   [&](int32_t x, int32_t y) {
+                     if (R.seeds[x].score != R.seeds[y].score)
+                       return R.seeds[x].score < R.seeds[y].score;
+                     return x < y;
+                   });
+  R.srt_alive.assign(n, 1);
+  R.k = n - 1;
+}
+
+// skip-extension test (golden region.py:181-222); true = skip this seed
+bool seed_skippable(const Opt& o, ReadState& R, const Seed& s, int32_t k) {
+  int64_t hit = -1;
+  for (size_t i = 0; i < R.regs.size(); ++i) {
+    const Reg& p = R.regs[i];
+    if (s.rbeg < p.rb || s.rbeg + s.len > p.re || s.qbeg < p.qb ||
+        s.qbeg + s.len > p.qe)
+      continue;
+    if (s.len - p.seedlen0 > 0.1 * R.l_query) continue;
+    int64_t qd = s.qbeg - p.qb;
+    int64_t rd = s.rbeg - p.rb;
+    int64_t max_gap = cal_max_gap(o, std::min(qd, rd));
+    int64_t w = std::min(max_gap, (int64_t)p.w);
+    if (qd - rd < w && rd - qd < w) { hit = (int64_t)i; break; }
+    qd = p.qe - (s.qbeg + s.len);
+    rd = p.re - (s.rbeg + s.len);
+    max_gap = cal_max_gap(o, std::min(qd, rd));
+    w = std::min(max_gap, (int64_t)p.w);
+    if (qd - rd < w && rd - qd < w) { hit = (int64_t)i; break; }
+  }
+  if (hit < 0) return false;
+  int32_t n = (int32_t)R.seeds.size();
+  int32_t i = k + 1;
+  for (; i < n; ++i) {
+    if (!R.srt_alive[i]) continue;
+    const Seed& t = R.seeds[R.srt[i]];
+    if (t.len >= s.len * 0.95) {
+      if (s.qbeg <= t.qbeg && s.qbeg + s.len - t.qbeg >= (s.len >> 2) &&
+          t.qbeg - s.qbeg != t.rbeg - s.rbeg)
+        break;
+      if (t.qbeg <= s.qbeg && t.qbeg + t.len - s.qbeg >= (s.len >> 2) &&
+          s.qbeg - t.qbeg != s.rbeg - t.rbeg)
+        break;
+    }
+  }
+  return i == n;  // no overlapping seeds in the chain: skip extension
+}
+
+// apply a final 12-tuple to build the AlnReg (golden region.py:246-283)
+void apply_tuple(const Opt& o, ReadState& R, const int64_t t[12]) {
+  int64_t ls = t[0], lqle = t[1], ltle = t[2], lgtle = t[3], lgscore = t[4],
+          aw0 = t[5];
+  int64_t rs = t[6], rqle = t[7], rtle = t[8], rgtle = t[9], rgscore = t[10],
+          aw1 = t[11];
+  const Seed& s = R.cur;
+  Reg a{};
+  a.rid = R.chain_rid;
+  if (s.qbeg) {
+    a.score = (int32_t)ls;
+    if (lgscore <= 0 || lgscore <= ls - o.pen_clip5) {  // local
+      a.qb = (int32_t)(s.qbeg - lqle);
+      a.rb = s.rbeg - ltle;
+      a.truesc = (int32_t)ls;
+    } else {  // to-end
+      a.qb = 0;
+      a.rb = s.rbeg - lgtle;
+      a.truesc = (int32_t)lgscore;
+    }
+  } else {
+    a.score = a.truesc = s.len * o.a;
+    a.qb = 0;
+    a.rb = s.rbeg;
+  }
+  if (s.qbeg + s.len != R.l_query) {
+    int64_t sc0 = a.score;
+    int64_t qe = s.qbeg + s.len;
+    int64_t re = s.rbeg + s.len - R.rmax0;
+    a.score = (int32_t)rs;
+    if (rgscore <= 0 || rgscore <= rs - o.pen_clip3) {  // local
+      a.qe = (int32_t)(qe + rqle);
+      a.re = R.rmax0 + re + rtle;
+      a.truesc += (int32_t)(rs - sc0);
+    } else {  // to-end
+      a.qe = R.l_query;
+      a.re = R.rmax0 + re + rgtle;
+      a.truesc += (int32_t)(rgscore - sc0);
+    }
+  } else {
+    a.qe = R.l_query;
+    a.re = s.rbeg + s.len;
+  }
+  a.seedcov = 0;
+  for (const Seed& t2 : R.seeds) {
+    if (t2.qbeg >= a.qb && t2.qbeg + t2.len <= a.qe && t2.rbeg >= a.rb &&
+        t2.rbeg + t2.len <= a.re)
+      a.seedcov += t2.len;
+  }
+  a.w = (int32_t)std::max(aw0, aw1);
+  a.seedlen0 = s.len;
+  a.frac_rep = R.chain_frac;
+  a.csub = 0;
+  a.is_alt = 0;
+  R.regs.push_back(a);
+}
+
+// golden region.py run_task_host: exact band-doubling loops on the scalar
+// kernel; fills out[12]
+void run_host(const Opt& o, Driver& D, ReadState& R, int64_t out[12]) {
+  const Seed& s = R.cur;
+  if (!R.rseq_ready) {
+    D.bns.get_seq(R.rmax0, R.rmax1, &R.rseq);
+    R.rseq_ready = true;
+  }
+  // left (reversed)
+  if (s.qbeg) {
+    std::vector<uint8_t> qs(s.qbeg), ts;
+    for (int32_t i = 0; i < s.qbeg; ++i) qs[i] = R.seq[s.qbeg - 1 - i];
+    int64_t tmp = s.rbeg - R.rmax0;
+    ts.resize(tmp);
+    for (int64_t i = 0; i < tmp; ++i) ts[i] = R.rseq[tmp - 1 - i];
+    int64_t score = -1, aw0 = o.w;
+    bwaflow::Ext2Result r{};
+    for (int t = 0; t < 2; ++t) {
+      int64_t prev = score;
+      aw0 = (int64_t)o.w << t;
+      r = bwaflow::ksw_extend2((int)qs.size(), qs.data(), (int)ts.size(),
+                               ts.data(), o.mat, 5, o.o_del, o.e_del,
+                               o.o_ins, o.e_ins, (int)aw0, o.pen_clip5,
+                               o.zdrop, s.len * o.a);
+      score = r.score;
+      if (score == prev ||
+          r.max_off < (aw0 >> 1) + (aw0 >> 2))
+        break;
+    }
+    out[0] = score; out[1] = r.qle; out[2] = r.tle; out[3] = r.gtle;
+    out[4] = r.gscore; out[5] = aw0;
+  } else {
+    out[0] = s.len * o.a;
+    out[1] = out[2] = out[3] = out[4] = 0;
+    out[5] = o.w;
+  }
+  int64_t sc0 = out[0];
+  if (s.qbeg + s.len != R.l_query) {
+    int64_t qe = s.qbeg + s.len;
+    int64_t re = s.rbeg + s.len - R.rmax0;
+    std::vector<uint8_t> qs(R.seq + qe, R.seq + R.l_query);
+    std::vector<uint8_t> ts(R.rseq.begin() + re, R.rseq.end());
+    int64_t score = sc0, aw1 = o.w;
+    bwaflow::Ext2Result r{};
+    for (int t = 0; t < 2; ++t) {
+      int64_t prev = score;
+      aw1 = (int64_t)o.w << t;
+      r = bwaflow::ksw_extend2((int)qs.size(), qs.data(), (int)ts.size(),
+                               ts.data(), o.mat, 5, o.o_del, o.e_del,
+                               o.o_ins, o.e_ins, (int)aw1, o.pen_clip3,
+                               o.zdrop, (int)sc0);
+      score = r.score;
+      if (score == prev ||
+          r.max_off < (aw1 >> 1) + (aw1 >> 2))
+        break;
+    }
+    out[6] = score; out[7] = r.qle; out[8] = r.tle; out[9] = r.gtle;
+    out[10] = r.gscore; out[11] = aw1;
+  } else {
+    out[6] = sc0;
+    out[7] = out[8] = out[9] = out[10] = 0;
+    out[11] = o.w;
+  }
+}
+
+bool task_fits(const Driver& D, const ReadState& R, const Seed& s) {
+  return R.dev_ok && s.qbeg <= D.qmax &&
+         R.l_query - (s.qbeg + s.len) <= D.qmax &&
+         s.rbeg - R.rmax0 <= D.tmax &&
+         R.rmax1 - (s.rbeg + s.len) <= D.tmax;
+}
+
+// advance the read's machine until a device task is pending or the read
+// is done; oversized tasks run inline on the scalar kernel
+void advance(Driver& D, ReadState& R) {
+  const Opt& o = D.opt;
+  while (true) {
+    // need a fresh seed?
+    while (R.cur_chain < R.chain_lo || R.k < 0) {
+      int64_t next = (R.cur_chain < R.chain_lo) ? R.chain_lo
+                                                : R.cur_chain + 1;
+      if (next >= R.chain_hi) {
+        R.done = true;
+        --D.n_pending;
+        return;
+      }
+      setup_chain(D, R, next);
+    }
+    const Seed s = R.seeds[R.srt[R.k]];
+    if (seed_skippable(o, R, s, R.k)) {
+      R.srt_alive[R.k] = 0;
+      --R.k;
+      continue;
+    }
+    R.cur = s;
+    --R.k;
+    if (task_fits(D, R, s)) {
+      R.stage = 0;
+      return;  // pending: pack() will pick it up
+    }
+    int64_t out[12];
+    run_host(o, D, R, out);
+    apply_tuple(o, R, out);
+    ++D.n_host_tasks;
+  }
+}
+
+// apply one device row (handle() in pipeline/batch.py): returns true if
+// the read needs re-packing (band retry), false when the task finished
+bool handle_row(Driver& D, ReadState& R, const int32_t* row) {
+  const Opt& o = D.opt;
+  int64_t W = o.w;
+  int64_t RETRY_OFF = (W >> 1) + (W >> 2);
+  bool has_left = R.cur.qbeg > 0;
+  bool has_right = R.cur.qbeg + R.cur.len != R.l_query;
+  int64_t ls = row[0], lq = row[1], lt = row[2], lg = row[3], lgs = row[4],
+          lmo = row[5];
+  int64_t rs = row[6], rq = row[7], rt = row[8], rg = row[9], rgs = row[10],
+          rmo = row[11];
+  if (R.stage == 0 && has_left && lmo >= RETRY_OFF) {
+    R.stage = 1;
+    return true;
+  }
+  int64_t tuple[12];
+  if (R.stage == 0 || R.stage == 1) {
+    int64_t aw0 = (R.stage == 1 && has_left) ? (W << 1) : W;
+    int64_t sc0 = ls;
+    if (has_right && rs != sc0 && rmo >= RETRY_OFF) {
+      R.lfinal[0] = ls; R.lfinal[1] = lq; R.lfinal[2] = lt;
+      R.lfinal[3] = lg; R.lfinal[4] = lgs; R.lfinal[5] = aw0;
+      R.stage = 2;
+      return true;
+    }
+    tuple[0] = ls; tuple[1] = lq; tuple[2] = lt; tuple[3] = lg;
+    tuple[4] = lgs; tuple[5] = aw0;
+    tuple[6] = rs; tuple[7] = rq; tuple[8] = rt; tuple[9] = rg;
+    tuple[10] = rgs; tuple[11] = W;
+  } else {  // stage 2: right half fresh, left half saved
+    for (int i = 0; i < 6; ++i) tuple[i] = R.lfinal[i];
+    tuple[6] = rs; tuple[7] = rq; tuple[8] = rt; tuple[9] = rg;
+    tuple[10] = rgs; tuple[11] = W << 1;
+  }
+  apply_tuple(o, R, tuple);
+  advance(D, R);
+  return false;
+}
+
+// ------------------------------------------------------------------
+// binding
+// ------------------------------------------------------------------
+
+void driver_destroy(PyObject* cap) {
+  delete (Driver*)PyCapsule_GetPointer(cap, "bwa_wave_driver");
+}
+
+bool get_buf(PyObject* obj, Py_buffer* view, const char* name) {
+  if (PyObject_GetBuffer(obj, view, PyBUF_SIMPLE) != 0) {
+    PyErr_Format(PyExc_TypeError, "%s: expected a contiguous buffer", name);
+    return false;
+  }
+  return true;
+}
+
+// create(seq_cat u8, seq_off i64[n+1], dev_ok u8[n],
+//        chain_off i64[n+1], chain_rid i32[NC], chain_frac f64[NC],
+//        seed_off i64[NC+1], seeds i64[NS*4],
+//        pac u8, l_pac, ann_off i64[nc],
+//        opt_ints i64[9], mat i8[25], qmax, tmax, cap)
+PyObject* py_create(PyObject*, PyObject* args) {
+  PyObject *seq_o, *seqoff_o, *devok_o, *choff_o, *chrid_o, *chfrac_o,
+      *sdoff_o, *sds_o, *pac_o, *annoff_o, *opti_o, *mat_o;
+  long long l_pac;
+  int qmax, tmax, cap;
+  if (!PyArg_ParseTuple(args, "OOOOOOOOOLOOOiii", &seq_o, &seqoff_o,
+                        &devok_o, &choff_o, &chrid_o, &chfrac_o, &sdoff_o,
+                        &sds_o, &pac_o, &l_pac, &annoff_o, &opti_o, &mat_o,
+                        &qmax, &tmax, &cap))
+    return nullptr;
+  PyObject* objs[] = {seq_o, seqoff_o, devok_o, choff_o, chrid_o,
+                      chfrac_o, sdoff_o, sds_o, pac_o, annoff_o,
+                      opti_o, mat_o};
+  const int NB = 12;
+  Py_buffer bufs[NB];
+  for (int i = 0; i < NB; ++i) {
+    if (!get_buf(objs[i], &bufs[i], "arg")) {
+      for (int j = 0; j < i; ++j) PyBuffer_Release(&bufs[j]);
+      return nullptr;
+    }
+  }
+  Driver* D = new Driver();
+  const int64_t* opti = (const int64_t*)bufs[10].buf;
+  D->opt.a = (int32_t)opti[0];
+  D->opt.o_del = (int32_t)opti[1];
+  D->opt.e_del = (int32_t)opti[2];
+  D->opt.o_ins = (int32_t)opti[3];
+  D->opt.e_ins = (int32_t)opti[4];
+  D->opt.w = (int32_t)opti[5];
+  D->opt.zdrop = (int32_t)opti[6];
+  D->opt.pen_clip5 = (int32_t)opti[7];
+  D->opt.pen_clip3 = (int32_t)opti[8];
+  std::memcpy(D->opt.mat, bufs[11].buf, 25);
+  D->qmax = qmax;
+  D->tmax = tmax;
+  D->cap = cap;
+  // own copies of the chain arrays (the Python side may free its bytes)
+  auto copy64 = [](Py_buffer& b, std::vector<int64_t>* v) {
+    v->assign((const int64_t*)b.buf,
+              (const int64_t*)b.buf + b.len / 8);
+  };
+  copy64(bufs[3], &D->chain_off);
+  D->chain_rid.assign((const int32_t*)bufs[4].buf,
+                      (const int32_t*)bufs[4].buf + bufs[4].len / 4);
+  D->chain_frac.assign((const double*)bufs[5].buf,
+                       (const double*)bufs[5].buf + bufs[5].len / 8);
+  copy64(bufs[6], &D->seed_off);
+  copy64(bufs[7], &D->seeds_flat);
+  D->seq_store.assign((const uint8_t*)bufs[0].buf,
+                      (const uint8_t*)bufs[0].buf + bufs[0].len);
+  copy64(bufs[1], &D->seq_off);
+  // pac/ann borrowed? copy pac for safety (can be large; the caller's
+  // arrays are cached per-index so borrowing would be fine — but a
+  // dangling pointer on index reload is a worse failure mode)
+  static_assert(sizeof(double) == 8, "");
+  D->bns.l_pac = (int64_t)l_pac;
+  // copy pac + ann into driver-owned storage
+  {
+    auto* pacv = new std::vector<uint8_t>(
+        (const uint8_t*)bufs[8].buf,
+        (const uint8_t*)bufs[8].buf + bufs[8].len);
+    auto* annv = new std::vector<int64_t>(
+        (const int64_t*)bufs[9].buf,
+        (const int64_t*)bufs[9].buf + bufs[9].len / 8);
+    D->bns.pac = pacv->data();
+    D->bns.offsets = annv->data();
+    D->bns.n_ctg = (int64_t)annv->size();
+    // leak-free: stash in driver via lambda capture is not possible;
+    // store in members below
+    D->pac_store = pacv;
+    D->ann_store = annv;
+  }
+  const uint8_t* dev_ok = (const uint8_t*)bufs[2].buf;
+  int64_t n = (int64_t)(bufs[2].len);
+  D->reads.resize((size_t)n);
+  D->stream_slots.resize(8);
+  D->n_pending = n;
+  for (int64_t r = 0; r < n; ++r) {
+    ReadState& R = D->reads[r];
+    R.seq = D->seq_store.data() + D->seq_off[r];
+    R.l_query = (int32_t)(D->seq_off[r + 1] - D->seq_off[r]);
+    R.dev_ok = dev_ok[r] != 0;
+    R.chain_lo = D->chain_off[r];
+    R.chain_hi = D->chain_off[r + 1];
+    R.cur_chain = R.chain_lo - 1;
+    R.k = -1;
+    advance(*D, R);
+  }
+  for (int i = 0; i < NB; ++i) PyBuffer_Release(&bufs[i]);
+  return PyCapsule_New(D, "bwa_wave_driver", driver_destroy);
+}
+
+// pack(cap_obj, stream) -> (slots bytes i32[count], desc bytes i64[11*cap])
+//                          | None when nothing packable
+PyObject* py_pack(PyObject*, PyObject* args) {
+  PyObject* cap_o;
+  int stream;
+  if (!PyArg_ParseTuple(args, "Oi", &cap_o, &stream)) return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  std::vector<int32_t>& slots = D->stream_slots[stream];
+  slots.clear();
+  std::vector<int64_t> desc((size_t)DESC_ROWS * D->cap, 0);
+  for (int64_t t = 0; t < D->cap; ++t) {
+    desc[7 * D->cap + t] = 1;   // h0
+    desc[8 * D->cap + t] = 1;   // wl
+    desc[9 * D->cap + t] = 1;   // wr
+  }
+  int64_t count = 0;
+  int64_t W = D->opt.w;
+  for (int64_t r = 0; r < (int64_t)D->reads.size() && count < D->cap;
+       ++r) {
+    ReadState& R = D->reads[r];
+    if (R.done || R.in_flight) continue;
+    // pending task exists by construction (advance leaves one)
+    int64_t wl = W, wr = W, skip_left = 0, h0 = R.cur.len * D->opt.a;
+    if (R.stage == 1) {
+      wl = W << 1;
+    } else if (R.stage == 2) {
+      wr = W << 1;
+      skip_left = 1;
+      h0 = R.lfinal[0];
+    }
+    int64_t t = count++;
+    desc[0 * D->cap + t] = r;
+    desc[1 * D->cap + t] = R.cur.qbeg;
+    desc[2 * D->cap + t] = R.cur.len;
+    desc[3 * D->cap + t] = R.l_query;
+    desc[4 * D->cap + t] = R.cur.rbeg;
+    desc[5 * D->cap + t] = R.rmax0;
+    desc[6 * D->cap + t] = R.rmax1;
+    desc[7 * D->cap + t] = h0;
+    desc[8 * D->cap + t] = wl;
+    desc[9 * D->cap + t] = wr;
+    desc[10 * D->cap + t] = skip_left;
+    R.in_flight = true;
+    slots.push_back((int32_t)r);
+  }
+  if (!count) Py_RETURN_NONE;
+  return Py_BuildValue(
+      "(NN)",
+      PyBytes_FromStringAndSize((const char*)slots.data(),
+                                (Py_ssize_t)(slots.size() * 4)),
+      PyBytes_FromStringAndSize((const char*)desc.data(),
+                                (Py_ssize_t)(desc.size() * 8)));
+}
+
+// apply(cap_obj, stream, out bytes i32[12*cap])
+PyObject* py_apply(PyObject*, PyObject* args) {
+  PyObject *cap_o, *out_o;
+  int stream;
+  if (!PyArg_ParseTuple(args, "OiO", &cap_o, &stream, &out_o))
+    return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  Py_buffer ob;
+  if (!get_buf(out_o, &ob, "out")) return nullptr;
+  const int32_t* out = (const int32_t*)ob.buf;
+  std::vector<int32_t> slots = D->stream_slots[stream];
+  Py_BEGIN_ALLOW_THREADS
+  for (size_t i = 0; i < slots.size(); ++i) {
+    ReadState& R = D->reads[slots[i]];
+    R.in_flight = false;
+    int32_t row[OUT_ROWS];
+    for (int f = 0; f < OUT_ROWS; ++f)
+      row[f] = out[(int64_t)f * D->cap + (int64_t)i];
+    handle_row(*D, R, row);
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&ob);
+  Py_RETURN_NONE;
+}
+
+PyObject* py_n_pending(PyObject*, PyObject* args) {
+  PyObject* cap_o;
+  if (!PyArg_ParseTuple(args, "O", &cap_o)) return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  return PyLong_FromLongLong((long long)D->n_pending);
+}
+
+PyObject* py_host_tasks(PyObject*, PyObject* args) {
+  PyObject* cap_o;
+  if (!PyArg_ParseTuple(args, "O", &cap_o)) return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  return PyLong_FromLongLong((long long)D->n_host_tasks);
+}
+
+// finish(cap_obj) -> (rows bytes i64[NR*12], frac bytes f64[NR],
+//                     off bytes i64[n+1])
+PyObject* py_finish(PyObject*, PyObject* args) {
+  PyObject* cap_o;
+  if (!PyArg_ParseTuple(args, "O", &cap_o)) return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  int64_t n = (int64_t)D->reads.size();
+  int64_t total = 0;
+  for (const ReadState& R : D->reads) total += (int64_t)R.regs.size();
+  std::vector<int64_t> rows((size_t)total * REG_NF);
+  std::vector<double> frac((size_t)total);
+  std::vector<int64_t> off((size_t)n + 1, 0);
+  int64_t w = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    for (const Reg& p : D->reads[r].regs) {
+      int64_t* f = rows.data() + w * REG_NF;
+      f[0] = p.rb; f[1] = p.re; f[2] = p.qb; f[3] = p.qe; f[4] = p.rid;
+      f[5] = p.score; f[6] = p.truesc; f[7] = p.w; f[8] = p.seedcov;
+      f[9] = p.seedlen0; f[10] = p.csub; f[11] = p.is_alt;
+      frac[w] = p.frac_rep;
+      ++w;
+    }
+    off[r + 1] = w;
+  }
+  return Py_BuildValue(
+      "(NNN)",
+      PyBytes_FromStringAndSize((const char*)rows.data(),
+                                (Py_ssize_t)(rows.size() * 8)),
+      PyBytes_FromStringAndSize((const char*)frac.data(),
+                                (Py_ssize_t)(frac.size() * 8)),
+      PyBytes_FromStringAndSize((const char*)off.data(),
+                                (Py_ssize_t)(off.size() * 8)));
+}
+
+PyMethodDef methods[] = {
+    {"create", py_create, METH_VARARGS, "create a wave driver"},
+    {"pack", py_pack, METH_VARARGS, "pack the next wave for a stream"},
+    {"apply", py_apply, METH_VARARGS, "apply device results for a stream"},
+    {"n_pending", py_n_pending, METH_VARARGS, "reads not yet finished"},
+    {"host_tasks", py_host_tasks, METH_VARARGS,
+     "count of tasks run inline on the scalar kernel"},
+    {"finish", py_finish, METH_VARARGS, "collect packed regions"},
+    {nullptr, nullptr, 0, nullptr}};
+
+struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_wave",
+                                "bwa_flow_tpu native wave driver", -1,
+                                methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__wave(void) { return PyModule_Create(&moduledef); }

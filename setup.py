@@ -28,5 +28,10 @@ setup(
             sources=["native/_region.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "bwa_flow_tpu._wave",
+            sources=["native/_wave.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )

@@ -57,6 +57,7 @@ def test_validation_mismatch_degrades(small_index, rng, monkeypatch):
     ba = BatchAligner(opt, fm, wave_cap=32, validate_every=1,
                       validate_sample=6)
     real = ba.extend_waves
+    real_packed = ba.extend_waves_packed
 
     def corrupted(seqs, chains):
         regs = real(seqs, chains)
@@ -65,7 +66,14 @@ def test_validation_mismatch_degrades(small_index, rng, monkeypatch):
                 a.score += 7  # wrong-result injection
         return regs
 
+    def corrupted_packed(seqs, intvs, sa_flat, **kw):
+        rows, frac, off = real_packed(seqs, intvs, sa_flat, **kw)
+        rows = rows.copy()
+        rows[:, 5] += 7  # wrong-result injection (score column)
+        return rows, frac, off
+
     monkeypatch.setattr(ba, "extend_waves", corrupted)
+    monkeypatch.setattr(ba, "extend_waves_packed", corrupted_packed)
     ba.align_se(reads)
     assert not ba.device_ok
     for g, w in zip(reads, want):
@@ -106,7 +114,11 @@ def test_dataflow_device_failure_midrun(small_index, rng, monkeypatch):
     try:
         monkeypatch.setattr(
             pipe.ba, "extend_waves",
-            lambda seqs, chains: (_ for _ in ()).throw(
+            lambda seqs, chains, **kw: (_ for _ in ()).throw(
+                RuntimeError("device lost mid-run")))
+        monkeypatch.setattr(
+            pipe.ba, "extend_waves_packed",
+            lambda seqs, intvs, sa_flat, **kw: (_ for _ in ()).throw(
                 RuntimeError("device lost mid-run")))
         batches = [reads[:5], reads[5:]]
         done = []
@@ -135,15 +147,24 @@ def test_dataflow_validation_mismatch_degrades(small_index, rng,
                                          validate_sample=8))
     try:
         real = pipe.ba.extend_waves
+        real_packed = pipe.ba.extend_waves_packed
 
-        def corrupted(seqs, chains):
+        def corrupted(seqs, chains, **kw):
             regs = real(seqs, chains)
             for rr in regs:
                 for a in rr:
                     a.score += 3
             return regs
 
+        def corrupted_packed(seqs, intvs, sa_flat, **kw):
+            rows, frac, off = real_packed(seqs, intvs, sa_flat, **kw)
+            rows = rows.copy()
+            rows[:, 5] += 3
+            return rows, frac, off
+
         monkeypatch.setattr(pipe.ba, "extend_waves", corrupted)
+        monkeypatch.setattr(pipe.ba, "extend_waves_packed",
+                            corrupted_packed)
         done = []
         pipe.run(iter([reads]), done.extend)
         assert not pipe.ba.device_ok
