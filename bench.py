@@ -47,7 +47,7 @@ B_EXT = 2048
 QMAX, TMAX = 160, 320
 B_SMEM = 8192
 SMEM_L = 160
-N_E2E = 8192
+N_E2E = 16384
 
 CODE = np.full(256, 4, np.uint8)
 for _i, _c in enumerate(b"ACGT"):

@@ -88,7 +88,7 @@ def _mem_parser() -> argparse.ArgumentParser:
     a("--sort", action="store_true", dest="sort",
       help="bucket-sort and write a coordinate-sorted BAM to -o")
     a("--temp-dir", dest="temp_dir", default=None)
-    a("--num-buckets", type=int, dest="num_buckets", default=64)
+    a("--num-buckets", type=int, dest="num_buckets", default=512)
     a("--filter", type=int, dest="filter_mask", default=0,
       help="drop alignments matching this FLAG mask at output")
     a("--remove-duplicates", action="store_true", dest="remove_dups")
@@ -281,8 +281,8 @@ def main_mem(argv: list[str]) -> int:
 
     markdup = None
     if not args.disable_markdup:
-        from .dedup.markdup import MarkDupStage
-        markdup = MarkDupStage(fm, ignore_unmated=True)
+        from .dedup.markdup import make_markdup_stage
+        markdup = make_markdup_stage(fm, ignore_unmated=True)
 
     bucket = None
     out = None

@@ -92,23 +92,60 @@ class BucketSort:
                 for i in range(self.n + 1)]
 
 
+def _load_sorted_bucket(path: str):
+    """Read one bucket file and compute its stable sort order. Memory is
+    bounded by the bucket size (output_size / num_buckets), the same
+    bounded-memory property as the reference's per-bucket mergesort
+    (BamSortStage.cpp:6-36)."""
+    import numpy as np
+    with open(path, "rb") as f:
+        data = f.read()
+    offs: list[int] = []
+    lens: list[int] = []
+    utid: list[int] = []
+    pos1: list[int] = []
+    rev: list[int] = []
+    off = 0
+    n = len(data)
+    while off < n:
+        bs = struct.unpack_from("<i", data, off)[0]
+        offs.append(off)
+        lens.append(4 + bs)
+        tid, pos = struct.unpack_from("<ii", data, off + 4)
+        flag = struct.unpack_from("<H", data, off + 18)[0]
+        utid.append(tid & 0xFFFFFFFF)  # -1 (unmapped) sorts last
+        pos1.append(pos + 1)
+        rev.append((flag >> 4) & 1)
+        off += 4 + bs
+    if offs:
+        # stable lexsort on (tid, pos, strand) — the bam1_lt key without
+        # the 65-bit packed integer (it overflows uint64 for tid=-1)
+        order = np.lexsort((np.asarray(rev, np.int64),
+                            np.asarray(pos1, np.int64),
+                            np.asarray(utid, np.int64)))
+    else:
+        order = []
+    return data, offs, lens, order
+
+
 def merge_sorted_bam(bucket_paths: list[str], out_path: str, anns,
                      header_text: str = "") -> None:
-    """Phase-2 pipeline: per-bucket in-memory sort + streamed write."""
+    """Phase-2 pipeline: per-bucket stable sort + streamed write, with
+    the next bucket loading/sorting in a background thread while the
+    current one compresses — the BamRead -> BamSort -> BamWrite stage
+    pipeline (src/Bam*Stage.cpp) collapsed to a two-deep prefetch."""
+    from concurrent.futures import ThreadPoolExecutor
     w = BamWriter(out_path, anns, header_text)
-    for path in bucket_paths:
-        with open(path, "rb") as f:
-            data = f.read()
-        recs = []
-        off = 0
-        while off < len(data):
-            bs = struct.unpack_from("<i", data, off)[0]
-            raw = data[off:off + 4 + bs]
-            recs.append((sort_key_from_raw(raw), raw))
-            off += 4 + bs
-        recs.sort(key=lambda kr: kr[0])
-        for _, raw in recs:
-            w.write_record(raw)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        nxt = ex.submit(_load_sorted_bucket, bucket_paths[0]) \
+            if bucket_paths else None
+        for i in range(len(bucket_paths)):
+            data, offs, lens, order = nxt.result()
+            nxt = ex.submit(_load_sorted_bucket, bucket_paths[i + 1]) \
+                if i + 1 < len(bucket_paths) else None
+            mv = memoryview(data)
+            for idx in order:
+                w.write_record(mv[offs[idx]:offs[idx] + lens[idx]])
     w.close()
 
 

@@ -29,6 +29,11 @@ setup(
             extra_compile_args=["-O3", "-std=c++17"],
         ),
         Extension(
+            "bwa_flow_tpu._markdup",
+            sources=["native/_markdup.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
+        Extension(
             "bwa_flow_tpu._wave",
             sources=["native/_wave.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],

@@ -145,3 +145,41 @@ def test_signature_merge_across_instances():
     l2 = [_Line(flag=99, rname="chr1", rapos=1000, cigar=b"101M"),
           _Line(flag=147, rname="chr1", rapos=1300, cigar=b"101M")]
     assert mark_dups_block(b, l2)
+
+
+def test_native_markdup_matches_python(small_index, rng):
+    """The native engine must mark exactly the blocks the Python stage
+    marks (same signatures, FLAG rewrites, and counters)."""
+    import copy
+    import pytest
+    from bwa_flow_tpu.dedup import markdup as md
+    if md._native is None:
+        pytest.skip("_markdup extension not built")
+    from bwa_flow_tpu.models import golden
+    from bwa_flow_tpu.utils.opts import MemOpt
+    from tests.test_pipeline_batch import _make_pe_reads
+    fm, contigs = small_index
+    opt = MemOpt()
+    from bwa_flow_tpu.utils.opts import MEM_F_PE
+    opt.flag |= MEM_F_PE
+    reads = _make_pe_reads(rng, contigs, 30)
+    # duplicate a third of the pairs (same coordinates -> same signature)
+    for k in range(0, 20, 2):
+        for j in (0, 1):
+            dup = copy.deepcopy(reads[2 * k + j])
+            dup.name = f"dup{k}"
+            dup.id = len(reads) + 2 * k + j
+            reads.append(dup)
+    golden.align_pe(opt, fm, reads)
+    py_reads = copy.deepcopy(reads)
+    nat_reads = copy.deepcopy(reads)
+    py = md.MarkDupStage(fm, ignore_unmated=True)
+    py.process(py_reads)
+    nat = md.NativeMarkDupStage(fm, ignore_unmated=True)
+    nat.process(nat_reads)
+    assert nat.state.dup_count == py.state.dup_count
+    assert nat.state.unmated_count == py.state.unmated_count
+    for a, b in zip(nat_reads, py_reads):
+        assert a.sam == b.sam, a.name
+    assert sorted(nat.state.signature_items()) == \
+        sorted(py.state.signature_items())
