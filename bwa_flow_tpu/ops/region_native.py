@@ -165,3 +165,68 @@ def dedup_batch(opt: MemOpt, fm: FMIndex, seqs, reg_lists) -> list:
         seq_cat, seq_off, np.ascontiguousarray(rows), frac, off, pac,
         fm.bns.l_pac, ann_off, ann_alt, opti, optf, mat)
     return unpack_regs(rows_b, frac_b, off_b)
+
+
+def pe_tail_ok(opt: MemOpt, reads) -> bool:
+    if _ext is None or (opt.flag & MEM_F_REF_HDR):
+        return False
+    return all(r.qual is not None for r in reads)
+
+
+def _pes_array(pes) -> np.ndarray:
+    out = np.zeros(20, np.float64)
+    for d in range(4):
+        p = pes[d]
+        out[d * 5:d * 5 + 5] = (p.low, p.high, p.failed, p.avg, p.std)
+    return out
+
+
+def pe_tail_batch(opt: MemOpt, fm: FMIndex, reads, reg_lists,
+                  rg_id: str = "", packed=None, pes0=None):
+    """PE tail fully native: dedup + per-batch pestat + mate rescue +
+    pairing + SAM for interleaved pairs; GIL released throughout.
+    Returns (sams list[str], pes list[PeStat] actually used)."""
+    assert _ext is not None
+    from .pe import PeStat
+    n = len(reads)
+    seq_off = np.zeros(n + 1, np.int64)
+    for i, r in enumerate(reads):
+        seq_off[i + 1] = seq_off[i] + len(r.seq)
+    seq_cat = np.concatenate([np.ascontiguousarray(r.seq, np.uint8)
+                              for r in reads]) if n else \
+        np.zeros(0, np.uint8)
+    qual_cat = "".join(r.qual for r in reads).encode()
+    names = [r.name.encode() for r in reads]
+    name_off = np.zeros(n + 1, np.int64)
+    for i, nm in enumerate(names):
+        name_off[i + 1] = name_off[i] + len(nm)
+    name_cat = b"".join(names)
+    comments = [(r.comment or "").encode() for r in reads]
+    com_off = np.zeros(n + 1, np.int64)
+    for i, cm in enumerate(comments):
+        com_off[i + 1] = com_off[i] + len(cm)
+    com_cat = b"".join(comments)
+    ids = np.array([r.id for r in reads], np.int64)
+    if packed is not None:
+        rows, frac, off = packed
+        rows = np.ascontiguousarray(rows.reshape(-1, _REG_NF))
+    else:
+        rows, frac, off = pack_regs(reg_lists)
+    ann_off, ann_alt, ann_name_cat, ann_name_off, pac = _bns_arrays(fm)
+    opti, optf, mat = _opt_arrays(opt)
+    pe_ints = np.array([opt.pen_unpaired, opt.max_matesw, opt.max_ins],
+                       np.int64)
+    pes_in = _pes_array(pes0) if pes0 is not None else None
+    sams, pes_b = _ext.pe_tail_batch(
+        seq_cat, seq_off, qual_cat, name_cat, name_off, com_cat, com_off,
+        ids, np.ascontiguousarray(rows), frac, off, pac, fm.bns.l_pac,
+        ann_off, ann_alt, ann_name_cat, ann_name_off, rg_id.encode(),
+        opti, optf, mat, pe_ints, pes_in)
+    pv = np.frombuffer(pes_b, np.float64)
+    pes_used = []
+    for d in range(4):
+        p = PeStat(low=int(pv[d * 5]), high=int(pv[d * 5 + 1]),
+                   failed=int(pv[d * 5 + 2]), avg=float(pv[d * 5 + 3]),
+                   std=float(pv[d * 5 + 4]))
+        pes_used.append(p)
+    return [s.decode() for s in sams], pes_used

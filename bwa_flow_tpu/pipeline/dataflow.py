@@ -207,6 +207,19 @@ class AlignPipeline:
         def work_pe():
             from ..ops import pe as peops
             from ..ops import region_native
+            if region_native.pe_tail_ok(self.opt, batch) and \
+                    hasattr(region_native._ext, "pe_tail_batch"):
+                # fully native PE tail (dedup + pestat + rescue +
+                # pairing + SAM), GIL released; packed wave output
+                # feeds straight in
+                packed = all_regs[1:] if _is_packed(all_regs) else None
+                sams, _ = region_native.pe_tail_batch(
+                    self.opt, self.fm, batch,
+                    None if packed else all_regs,
+                    _G.get("rg_id", ""), packed=packed, pes0=self.pes0)
+                for r, sm in zip(batch, sams):
+                    r.sam = sm
+                return
             regs_in = region_native.unpack_regs(*all_regs[1:]) \
                 if _is_packed(all_regs) else all_regs
             # phase 1: dedup/patch — native C++ (GIL released) when built,

@@ -95,9 +95,37 @@ PyObject* py_global2(PyObject*, PyObject* args) {
   return ret;
 }
 
+PyObject* py_align2(PyObject*, PyObject* args) {
+  int qlen, tlen, m, o_del, e_del, o_ins, e_ins, xtra;
+  PyObject *qo, *to, *mo;
+  if (!PyArg_ParseTuple(args, "iOiOOiiiiii", &qlen, &qo, &tlen, &to, &mo,
+                        &m, &o_del, &e_del, &o_ins, &e_ins, &xtra))
+    return nullptr;
+  Py_buffer qb, tb, mb;
+  if (!get_u8(qo, &qb, "query")) return nullptr;
+  if (!get_u8(to, &tb, "target")) { PyBuffer_Release(&qb); return nullptr; }
+  if (!get_u8(mo, &mb, "mat")) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&tb);
+    return nullptr;
+  }
+  bwaflow::KswResult r = bwaflow::ksw_align2(
+      qlen, (const uint8_t*)qb.buf, tlen, (const uint8_t*)tb.buf,
+      (const int8_t*)mb.buf, m, o_del, e_del, o_ins, e_ins, xtra);
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&tb);
+  PyBuffer_Release(&mb);
+  return Py_BuildValue("(LLLLLLL)", (long long)r.score, (long long)r.te,
+                       (long long)r.qe, (long long)r.score2,
+                       (long long)r.te2, (long long)r.tb,
+                       (long long)r.qb);
+}
+
 PyMethodDef methods[] = {
     {"ksw_extend2", py_extend2, METH_VARARGS,
      "scalar banded extension (exact golden semantics)"},
+    {"ksw_align2", py_align2, METH_VARARGS,
+     "local alignment with sub-score (exact golden semantics)"},
     {"ksw_global2", py_global2, METH_VARARGS,
      "banded global alignment + CIGAR (exact golden semantics)"},
     {nullptr, nullptr, 0, nullptr}};

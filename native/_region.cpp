@@ -67,6 +67,23 @@ struct Bns {
     return std::string(name_cat + name_off[rid],
                        name_cat + name_off[rid + 1]);
   }
+  // golden fmindex.fetch_seq: clip [beg,end) to the contig containing mid
+  void fetch_clip(int64_t* beg, int64_t mid, int64_t* end,
+                  int32_t* rid) const {
+    int64_t pos_f = mid >= l_pac ? (l_pac << 1) - 1 - mid : mid;
+    bool is_rev = mid >= l_pac;
+    *rid = pos2rid(pos_f);
+    int64_t far_beg = offsets[*rid];
+    int64_t far_end = (*rid + 1 < n_ctg) ? offsets[*rid + 1] : l_pac;
+    if (is_rev) {
+      int64_t b = (l_pac << 1) - far_end;
+      int64_t e = (l_pac << 1) - far_beg;
+      far_beg = b;
+      far_end = e;
+    }
+    *beg = std::max(*beg, far_beg);
+    *end = std::min(*end, far_end);
+  }
   // golden fmindex.get_seq: bases [beg, end) of the fw-rev coordinate
   // space; empty when bridging the strand boundary
   void get_seq(int64_t beg, int64_t end, std::vector<uint8_t>* out) const {
@@ -269,7 +286,7 @@ int64_t patch_reg(const Opt& opt, const Bns& bns, const uint8_t* query,
 
 // golden region.py mem_sort_dedup_patch
 void dedup_patch(const Opt& opt, const Bns& bns, const uint8_t* query,
-                 std::vector<Reg>& regs) {
+                 std::vector<Reg>& regs, bool do_patch = true) {
   int64_t n = (int64_t)regs.size();
   if (n <= 1) return;
   std::vector<Reg>& a = regs;
@@ -297,7 +314,7 @@ void dedup_patch(const Opt& opt, const Bns& bns, const uint8_t* query,
         } else {
           q.qe = q.qb;
         }
-      } else if (q.rb < p.rb) {
+      } else if (do_patch && q.rb < p.rb) {
         int64_t w = 0;
         int64_t score = patch_reg(opt, bns, query, q, p, &w);
         if (score > 0) {  // merge q into p
@@ -597,15 +614,37 @@ void gen_alt(const Opt& opt, const Bns& bns, const std::vector<Reg>& a,
   }
 }
 
-// golden sam.py mem_aln2sam (SE: no mate)
+// golden sam.py mem_aln2sam
 void aln2sam(const Opt& opt, const Bns& bns, const std::string& name,
              int32_t l_seq, const uint8_t* seq, const char* qual,
              const std::string& comment, int64_t n_alns,
              const std::vector<AlnT>& alns, int64_t which,
-             const std::string& rg_id, std::string* out) {
+             const std::string& rg_id, std::string* out,
+             const AlnT* m_in = nullptr) {
   AlnT p = alns[which];  // copy (flag mutations are local)
+  AlnT m_store;
+  AlnT* m = nullptr;
+  if (m_in) {
+    m_store = *m_in;
+    m = &m_store;
+  }
+  p.flag |= m ? 0x1 : 0;
   p.flag |= (p.rid < 0) ? 0x4 : 0;
+  p.flag |= (m && m->rid < 0) ? 0x8 : 0;
+  if (p.rid < 0 && m && m->rid >= 0) {  // copy mate to alignment
+    p.rid = m->rid;
+    p.pos = m->pos;
+    p.is_rev = m->is_rev;
+    p.cigar.clear();
+  }
+  if (m && m->rid < 0 && p.rid >= 0) {  // copy alignment to mate
+    m->rid = p.rid;
+    m->pos = p.pos;
+    m->is_rev = p.is_rev;
+    m->cigar.clear();
+  }
   p.flag |= p.is_rev ? 0x10 : 0;
+  p.flag |= (m && m->is_rev) ? 0x20 : 0;
   char buf[64];
   *out += name;
   snprintf(buf, sizeof buf, "\t%d\t",
@@ -620,7 +659,29 @@ void aln2sam(const Opt& opt, const Bns& bns, const std::string& name,
   } else {
     *out += "*\t0\t0\t*";
   }
-  *out += "\t*\t0\t0\t";
+  *out += '\t';
+  if (m && m->rid >= 0) {
+    if (p.rid == m->rid) *out += '=';
+    else *out += bns.name(m->rid);
+    snprintf(buf, sizeof buf, "\t%lld\t", (long long)(m->pos + 1));
+    *out += buf;
+    if (p.rid == m->rid) {
+      if (m->cigar.empty() || p.cigar.empty()) {
+        *out += '0';
+      } else {
+        int64_t p0 = p.pos + (p.is_rev ? get_rlen(p.cigar) - 1 : 0);
+        int64_t p1 = m->pos + (m->is_rev ? get_rlen(m->cigar) - 1 : 0);
+        int64_t sign = p0 > p1 ? 1 : (p0 < p1 ? -1 : 0);
+        snprintf(buf, sizeof buf, "%lld", (long long)(-(p0 - p1 + sign)));
+        *out += buf;
+      }
+    } else {
+      *out += '0';
+    }
+  } else {
+    *out += "*\t0\t0";
+  }
+  *out += '\t';
   // SEQ + QUAL
   static const char* FWD = "ACGTN";
   static const char* REV = "TGCAN";
@@ -660,6 +721,10 @@ void aln2sam(const Opt& opt, const Bns& bns, const std::string& name,
     snprintf(buf, sizeof buf, "\tNM:i:%d\tMD:Z:", p.NM);
     *out += buf;
     *out += p.MD;
+  }
+  if (m && !m->cigar.empty()) {
+    *out += "\tMC:Z:";
+    cigar_str(opt, *m, (int)which, out);
   }
   if (p.score >= 0) {
     snprintf(buf, sizeof buf, "\tAS:i:%d", p.score);
@@ -711,11 +776,12 @@ void aln2sam(const Opt& opt, const Bns& bns, const std::string& name,
   *out += '\n';
 }
 
-// golden sam.py mem_reg2sam (SE path: extra_flag=0, no mate)
-void reg2sam_se(const Opt& opt, const Bns& bns, const std::string& name,
-                int32_t l_seq, const uint8_t* seq, const char* qual,
-                const std::string& comment, std::vector<Reg>& a,
-                const std::string& rg_id, std::string* sam) {
+// golden sam.py mem_reg2sam
+void reg2sam(const Opt& opt, const Bns& bns, const std::string& name,
+             int32_t l_seq, const uint8_t* seq, const char* qual,
+             const std::string& comment, std::vector<Reg>& a,
+             const std::string& rg_id, std::string* sam,
+             int32_t extra_flag, const AlnT* m) {
   std::vector<std::string> XA;
   bool want_xa = !(opt.flag & F_ALL);
   if (want_xa) gen_alt(opt, bns, a, l_seq, seq, &XA);
@@ -730,6 +796,7 @@ void reg2sam_se(const Opt& opt, const Bns& bns, const std::string& name,
       continue;
     AlnT q = reg2aln(opt, bns, l_seq, seq, &p);
     if (want_xa) q.XA = XA[k];
+    q.flag |= extra_flag;
     if (p.secondary >= 0) q.sub = -1;
     if (l && p.secondary < 0)
       q.flag |= (opt.flag & F_NO_MULTI) ? 0x10000 : 0x800;
@@ -741,14 +808,437 @@ void reg2sam_se(const Opt& opt, const Bns& bns, const std::string& name,
   }
   if (aa.empty()) {
     AlnT t = reg2aln(opt, bns, l_seq, seq, nullptr);
+    t.flag |= extra_flag;
     std::vector<AlnT> one{std::move(t)};
     aln2sam(opt, bns, name, l_seq, seq, qual, comment, 1, one, 0, rg_id,
-            sam);
+            sam, m);
   } else {
     for (int64_t k = 0; k < (int64_t)aa.size(); ++k)
       aln2sam(opt, bns, name, l_seq, seq, qual, comment,
-              (int64_t)aa.size(), aa, k, rg_id, sam);
+              (int64_t)aa.size(), aa, k, rg_id, sam, m);
   }
+}
+
+// the SE tail entry keeps its old shape
+void reg2sam_se(const Opt& opt, const Bns& bns, const std::string& name,
+                int32_t l_seq, const uint8_t* seq, const char* qual,
+                const std::string& comment, std::vector<Reg>& a,
+                const std::string& rg_id, std::string* sam) {
+  reg2sam(opt, bns, name, l_seq, seq, qual, comment, a, rg_id, sam, 0,
+          nullptr);
+}
+
+
+// ------------------------------------------------------------------
+// Paired-end tail (golden: ops/pe.py over bwa/bwamem_pair.c)
+// ------------------------------------------------------------------
+
+constexpr double PE_MIN_RATIO = 0.8;
+constexpr int PE_MIN_DIR_CNT = 10;
+constexpr double PE_MIN_DIR_RATIO = 0.05;
+constexpr double PE_OUTLIER_BOUND = 2.0;
+constexpr double PE_MAPPING_BOUND = 3.0;
+constexpr double PE_MAX_STDDEV = 4.0;
+constexpr int F_NO_RESCUE = 0x20;
+constexpr int F_NOPAIRING = 0x4;
+
+struct PeOpt {           // the PE-specific option fields
+  int32_t pen_clip5, pen_clip3, zdrop, pen_unpaired, max_matesw;
+  int64_t max_ins;
+};
+
+struct PeStatC {
+  int64_t low = 0, high = 0;
+  int32_t failed = 0;
+  double avg = 0.0, stdv = 0.0;
+};
+
+// golden pe.py mem_infer_dir
+inline void infer_dir(int64_t l_pac, int64_t b1, int64_t b2, int* d,
+                      int64_t* dist) {
+  bool r1 = b1 >= l_pac, r2 = b2 >= l_pac;
+  int64_t p2 = (r1 == r2) ? b2 : (l_pac << 1) - 1 - b2;
+  *dist = p2 > b1 ? p2 - b1 : b1 - p2;
+  *d = ((r1 == r2) ? 0 : 1) ^ (p2 > b1 ? 0 : 3);
+}
+
+// golden pe.py _cal_sub
+int64_t cal_sub(const Opt& o, const std::vector<Reg>& r) {
+  for (size_t j = 1; j < r.size(); ++j) {
+    int64_t b_max = std::max(r[j].qb, r[0].qb);
+    int64_t e_min = std::min(r[j].qe, r[0].qe);
+    if (e_min > b_max) {
+      int64_t min_l = std::min((int64_t)(r[j].qe - r[j].qb),
+                               (int64_t)(r[0].qe - r[0].qb));
+      if (e_min - b_max >= min_l * o.mask_level) return r[j].score;
+    }
+  }
+  return (int64_t)o.min_seed_len * o.a;
+}
+
+// golden pe.py mem_pestat
+void pestat(const Opt& o, const PeOpt& po, int64_t l_pac,
+            const std::vector<std::vector<Reg>>& regs, PeStatC pes[4]) {
+  std::vector<int64_t> isize[4];
+  int64_t n = (int64_t)regs.size();
+  for (int64_t i = 0; i < n / 2; ++i) {
+    const std::vector<Reg>& r0 = regs[2 * i];
+    const std::vector<Reg>& r1 = regs[2 * i + 1];
+    if (r0.empty() || r1.empty()) continue;
+    if (cal_sub(o, r0) > PE_MIN_RATIO * r0[0].score) continue;
+    if (cal_sub(o, r1) > PE_MIN_RATIO * r1[0].score) continue;
+    if (r0[0].rid != r1[0].rid) continue;
+    int d;
+    int64_t dist;
+    infer_dir(l_pac, r0[0].rb, r1[0].rb, &d, &dist);
+    if (dist && dist <= po.max_ins) isize[d].push_back(dist);
+  }
+  size_t mx = 0;
+  for (int d = 0; d < 4; ++d) mx = std::max(mx, isize[d].size());
+  for (int d = 0; d < 4; ++d) {
+    PeStatC& r = pes[d];
+    std::vector<int64_t>& q = isize[d];
+    std::sort(q.begin(), q.end());
+    if ((int64_t)q.size() < PE_MIN_DIR_CNT) {
+      r.failed = 1;
+      continue;
+    }
+    int64_t p25 = q[(size_t)(0.25 * q.size() + 0.499)];
+    int64_t p75 = q[(size_t)(0.75 * q.size() + 0.499)];
+    r.low = std::max(
+        (int64_t)(p25 - PE_OUTLIER_BOUND * (p75 - p25) + 0.499),
+        (int64_t)1);
+    r.high = (int64_t)(p75 + PE_OUTLIER_BOUND * (p75 - p25) + 0.499);
+    double sum = 0;
+    int64_t cnt = 0;
+    for (int64_t v : q)
+      if (r.low <= v && v <= r.high) { sum += (double)v; ++cnt; }
+    r.avg = sum / cnt;
+    double var = 0;
+    for (int64_t v : q)
+      if (r.low <= v && v <= r.high)
+        var += ((double)v - r.avg) * ((double)v - r.avg);
+    r.stdv = std::sqrt(var / cnt);
+    r.low = (int64_t)(p25 - PE_MAPPING_BOUND * (p75 - p25) + 0.499);
+    r.high = (int64_t)(p75 + PE_MAPPING_BOUND * (p75 - p25) + 0.499);
+    if ((double)r.low > r.avg - PE_MAX_STDDEV * r.stdv)
+      r.low = (int64_t)(r.avg - PE_MAX_STDDEV * r.stdv + 0.499);
+    if ((double)r.high < r.avg + PE_MAX_STDDEV * r.stdv)
+      r.high = (int64_t)(r.avg + PE_MAX_STDDEV * r.stdv + 0.499);
+    r.low = std::max(r.low, (int64_t)1);
+  }
+  for (int d = 0; d < 4; ++d)
+    if (pes[d].failed == 0 && (double)isize[d].size() < mx * PE_MIN_DIR_RATIO)
+      pes[d].failed = 1;
+}
+
+// golden pe.py mem_matesw (pair.c:114-183)
+int matesw(const Opt& o, const PeOpt& po, const Bns& bns,
+           const PeStatC pes[4], const Reg& a, int32_t l_ms,
+           const uint8_t* ms, std::vector<Reg>& ma) {
+  int64_t l_pac = bns.l_pac;
+  bool skip[4];
+  for (int r = 0; r < 4; ++r) skip[r] = pes[r].failed != 0;
+  for (const Reg& p : ma) {
+    int r;
+    int64_t dist;
+    infer_dir(l_pac, a.rb, p.rb, &r, &dist);
+    if (pes[r].low <= dist && dist <= pes[r].high) skip[r] = true;
+  }
+  if (skip[0] && skip[1] && skip[2] && skip[3]) return 0;
+  int n = 0;
+  for (int r = 0; r < 4; ++r) {
+    if (skip[r]) continue;
+    bool is_rev = ((r >> 1) != (r & 1));
+    bool is_larger = !(r >> 1);
+    std::vector<uint8_t> seq(ms, ms + l_ms);
+    if (is_rev) {
+      std::reverse(seq.begin(), seq.end());
+      for (uint8_t& c : seq) c = c < 4 ? 3 - c : 4;
+    }
+    int64_t rb, re;
+    if (!is_rev) {
+      rb = is_larger ? a.rb + pes[r].low : a.rb - pes[r].high;
+      re = (is_larger ? a.rb + pes[r].high : a.rb - pes[r].low) + l_ms;
+    } else {
+      rb = (is_larger ? a.rb + pes[r].low : a.rb - pes[r].high) - l_ms;
+      re = is_larger ? a.rb + pes[r].high : a.rb - pes[r].low;
+    }
+    rb = std::max(rb, (int64_t)0);
+    re = std::min(re, l_pac << 1);
+    int32_t rid = -1;
+    std::vector<uint8_t> ref;
+    if (rb < re) {
+      int64_t mid = (rb + re) >> 1;
+      bns.fetch_clip(&rb, mid, &re, &rid);
+      bns.get_seq(rb, re, &ref);
+    }
+    if (a.rid == rid && re - rb >= o.min_seed_len) {
+      int xtra = bwaflow::KSW_XSUBO | bwaflow::KSW_XSTART |
+                 ((int64_t)l_ms * o.a < 250 ? bwaflow::KSW_XBYTE : 0) |
+                 (o.min_seed_len * o.a);
+      bwaflow::KswResult aln = bwaflow::ksw_align2(
+          l_ms, seq.data(), (int)(re - rb), ref.data(), o.mat, 5, o.o_del,
+          o.e_del, o.o_ins, o.e_ins, xtra);
+      if (aln.score >= o.min_seed_len && aln.qb >= 0) {
+        Reg b{};
+        b.rid = a.rid;
+        b.is_alt = a.is_alt;
+        b.qb = (int32_t)(is_rev ? l_ms - (aln.qe + 1) : aln.qb);
+        b.qe = (int32_t)(is_rev ? l_ms - aln.qb : aln.qe + 1);
+        b.rb = is_rev ? (l_pac << 1) - (rb + aln.te + 1) : rb + aln.tb;
+        b.re = is_rev ? (l_pac << 1) - (rb + aln.tb) : rb + aln.te + 1;
+        b.score = (int32_t)aln.score;
+        b.csub = (int32_t)aln.score2;
+        b.secondary = -1;
+        b.seedcov =
+            (int32_t)(std::min(b.re - b.rb, (int64_t)(b.qe - b.qb)) >> 1);
+        b.truesc = 0;
+        size_t ins = ma.size();
+        for (size_t i = 0; i < ma.size(); ++i)
+          if (ma[i].score < b.score) { ins = i; break; }
+        ma.insert(ma.begin() + ins, b);
+      }
+      ++n;
+    }
+    if (n) dedup_patch(o, bns, nullptr, ma, /*do_patch=*/false);
+  }
+  return n;
+}
+
+inline int64_t raw_mapq(int64_t diff, int64_t a) {
+  return (int64_t)(6.02 * (double)diff / (double)a + 0.499);
+}
+
+// golden pe.py mem_pair (pair.c:185-246)
+void mem_pair(const Opt& o, const Bns& bns, const PeStatC pes[4],
+              std::vector<Reg>* a, uint64_t rid_, const int64_t n_pri[2],
+              int64_t* o_out, int64_t* sub_out, int64_t* nsub_out,
+              int64_t z[2]) {
+  z[0] = z[1] = -1;
+  *o_out = *sub_out = *nsub_out = 0;
+  int64_t l_pac = bns.l_pac;
+  std::vector<std::pair<uint64_t, uint64_t>> v;
+  for (int r = 0; r < 2; ++r) {
+    for (int64_t i = 0; i < n_pri[r]; ++i) {
+      const Reg& e = a[r][i];
+      uint64_t kx = (uint64_t)(e.rb < l_pac ? e.rb
+                                            : (l_pac << 1) - 1 - e.rb);
+      kx = ((uint64_t)e.rid << 32) | (kx - (uint64_t)bns.offsets[e.rid]);
+      uint64_t ky = ((uint64_t)e.score << 32) | ((uint64_t)i << 2) |
+                    ((e.rb >= l_pac ? 1ull : 0ull) << 1) | (uint64_t)r;
+      v.push_back({kx, ky});
+    }
+  }
+  std::sort(v.begin(), v.end());
+  std::vector<std::pair<uint64_t, uint64_t>> u;
+  int64_t y[4] = {-1, -1, -1, -1};
+  for (int64_t i = 0; i < (int64_t)v.size(); ++i) {
+    for (int r = 0; r < 2; ++r) {
+      int dr = (r << 1) | ((v[i].second >> 1) & 1);
+      if (pes[dr].failed) continue;
+      int which = (r << 1) | ((v[i].second & 1) ^ 1);
+      if (y[which] < 0) continue;
+      for (int64_t k = y[which]; k >= 0; --k) {
+        if ((int)(v[k].second & 3) != which) continue;
+        int64_t dist = (int64_t)(v[i].first - v[k].first);
+        if (dist > pes[dr].high) break;
+        if (dist < pes[dr].low) continue;
+        int64_t q;
+        if (pes[dr].stdv != 0.0) {
+          double ns = ((double)dist - pes[dr].avg) / pes[dr].stdv;
+          double erfc2 = std::max(
+              2.0 * std::erfc(std::fabs(ns) / std::sqrt(2.0)), 5e-324);
+          q = (int64_t)((double)(v[i].second >> 32) +
+                        (double)(v[k].second >> 32) +
+                        0.721 * std::log(erfc2) * o.a + 0.499);
+          q = std::max(q, (int64_t)0);
+        } else {
+          q = 0;
+        }
+        uint64_t pair_y = ((uint64_t)k << 32) | (uint64_t)i;
+        uint64_t pair_x =
+            ((uint64_t)q << 32) |
+            (hash_64(pair_y ^ (rid_ << 8)) & 0xFFFFFFFFull);
+        u.push_back({pair_x, pair_y});
+      }
+    }
+    y[v[i].second & 3] = i;
+  }
+  if (!u.empty()) {
+    int64_t tmp = std::max((int64_t)o.a + o.b,
+                           std::max((int64_t)o.o_del + o.e_del,
+                                    (int64_t)o.o_ins + o.e_ins));
+    std::sort(u.begin(), u.end());
+    int64_t i = (int64_t)(u.back().second >> 32);
+    int64_t k = (int64_t)(u.back().second & 0xFFFFFFFFull);
+    z[v[i].second & 1] = (int64_t)((v[i].second & 0xFFFFFFFFull) >> 2);
+    z[v[k].second & 1] = (int64_t)((v[k].second & 0xFFFFFFFFull) >> 2);
+    *o_out = (int64_t)(u.back().first >> 32);
+    *sub_out = u.size() > 1 ? (int64_t)(u[u.size() - 2].first >> 32) : 0;
+    int64_t n_sub = 0;
+    for (int64_t j = (int64_t)u.size() - 2; j >= 0; --j)
+      if (*sub_out - (int64_t)(u[j].first >> 32) <= tmp) ++n_sub;
+    *nsub_out = n_sub;
+  }
+}
+
+
+// ------------------------------------------------------------------
+// mem_sam_pe (golden: pe.py:246-374 over pair.c:253-396)
+// ------------------------------------------------------------------
+
+struct PeRead {
+  std::string name;
+  int32_t l_seq;
+  const uint8_t* seq;
+  const char* qual;
+  std::string comment;
+  std::string sam;
+};
+
+int sam_pe(const Opt& o, const PeOpt& po, const Bns& bns,
+           const PeStatC pes[4], uint64_t rid_, PeRead s[2],
+           std::vector<Reg> a[2], const std::string& rg_id) {
+  int n = 0;
+  int32_t extra_flag = 1;
+  if (!(o.flag & F_NO_RESCUE)) {
+    std::vector<Reg> b[2];
+    for (int i = 0; i < 2; ++i)
+      for (const Reg& reg : a[i])
+        if (!a[i].empty() && reg.score >= a[i][0].score - po.pen_unpaired)
+          b[i].push_back(reg);
+    for (int i = 0; i < 2; ++i)
+      for (int64_t j = 0;
+           j < std::min((int64_t)b[i].size(), (int64_t)po.max_matesw); ++j)
+        n += matesw(o, po, bns, pes, b[i][j], s[1 - i].l_seq,
+                    s[1 - i].seq, a[1 - i]);
+  }
+  int64_t n_pri[2];
+  n_pri[0] = mark_primary_se(o, a[0], (int64_t)((rid_ << 1) | 0));
+  n_pri[1] = mark_primary_se(o, a[1], (int64_t)((rid_ << 1) | 1));
+  if (o.flag & F_PRIMARY5) {
+    reorder_primary5(o.T, a[0]);
+    reorder_primary5(o.T, a[1]);
+  }
+  if (!(o.flag & F_NOPAIRING)) {
+    int64_t oo = 0, subo = 0, n_sub = 0;
+    int64_t z[2] = {-1, -1};
+    if (n_pri[0] && n_pri[1])
+      mem_pair(o, bns, pes, a, rid_, n_pri, &oo, &subo, &n_sub, z);
+    if (n_pri[0] && n_pri[1] && oo > 0) {
+      bool is_multi[2] = {false, false};
+      for (int i = 0; i < 2; ++i)
+        for (int64_t j = 1; j < n_pri[i]; ++j)
+          if (a[i][j].secondary < 0 && a[i][j].score >= o.T) {
+            is_multi[i] = true;
+            break;
+          }
+      if (!is_multi[0] && !is_multi[1]) {
+        // ------- paired emission (golden pe.py:_sam_pe_paired) -------
+        int64_t score_un = a[0][0].score + a[1][0].score - po.pen_unpaired;
+        subo = std::max(subo, score_un);
+        int64_t q_pe = raw_mapq(oo - subo, o.a);
+        if (n_sub > 0)
+          q_pe -= (int64_t)(4.343 * std::log((double)n_sub + 1) + 0.499);
+        q_pe = std::min(std::max(q_pe, (int64_t)0), (int64_t)60);
+        q_pe = (int64_t)(q_pe * (1.0 - 0.5 * (a[0][0].frac_rep +
+                                              a[1][0].frac_rep)) + 0.499);
+        int64_t q_se[2] = {0, 0};
+        if (oo > score_un) {  // paired alignment preferred
+          Reg* c[2] = {&a[0][z[0]], &a[1][z[1]]};
+          for (int i = 0; i < 2; ++i) {
+            if (c[i]->secondary >= 0) {
+              c[i]->sub = a[i][c[i]->secondary].score;
+              c[i]->secondary = -2;
+            }
+            q_se[i] = approx_mapq_se(o, *c[i]);
+          }
+          q_se[0] = q_se[0] > q_pe ? q_se[0]
+                                   : std::min(q_pe, q_se[0] + 40);
+          q_se[1] = q_se[1] > q_pe ? q_se[1]
+                                   : std::min(q_pe, q_se[1] + 40);
+          extra_flag |= 2;
+          q_se[0] = std::min(q_se[0],
+                             raw_mapq(c[0]->score - c[0]->csub, o.a));
+          q_se[1] = std::min(q_se[1],
+                             raw_mapq(c[1]->score - c[1]->csub, o.a));
+        } else {  // unpaired preferred
+          z[0] = z[1] = 0;
+          q_se[0] = approx_mapq_se(o, a[0][0]);
+          q_se[1] = approx_mapq_se(o, a[1][0]);
+        }
+        for (int i = 0; i < 2; ++i) {
+          int64_t k = a[i][z[i]].secondary_all;
+          if (0 <= k && k < n_pri[i]) {  // switch secondary and primary
+            for (int64_t j = 0; j < (int64_t)a[i].size(); ++j)
+              if (a[i][j].secondary_all == k || j == k)
+                a[i][j].secondary_all = (int32_t)z[i];
+            a[i][z[i]].secondary_all = -1;
+          }
+        }
+        std::vector<std::string> XA[2];
+        bool want_xa = !(o.flag & F_ALL);
+        if (want_xa)
+          for (int i = 0; i < 2; ++i)
+            gen_alt(o, bns, a[i], s[i].l_seq, s[i].seq, &XA[i]);
+        AlnT h[2];
+        std::vector<AlnT> aa[2];
+        for (int i = 0; i < 2; ++i) {
+          h[i] = reg2aln(o, bns, s[i].l_seq, s[i].seq, &a[i][z[i]]);
+          h[i].mapq = (int32_t)q_se[i];
+          h[i].flag |= (0x40 << i) | extra_flag;
+          if (want_xa) h[i].XA = XA[i][z[i]];
+          aa[i].push_back(h[i]);
+          if (n_pri[i] < (int64_t)a[i].size()) {  // ALT hits
+            const Reg& p = a[i][n_pri[i]];
+            if (p.score < o.T || p.secondary >= 0 || !p.is_alt) continue;
+            AlnT g = reg2aln(o, bns, s[i].l_seq, s[i].seq, &p);
+            g.flag |= 0x800 | (0x40 << i) | extra_flag;
+            if (want_xa) g.XA = XA[i][n_pri[i]];
+            aa[i].push_back(std::move(g));
+          }
+        }
+        for (int64_t k = 0; k < (int64_t)aa[0].size(); ++k)
+          aln2sam(o, bns, s[0].name, s[0].l_seq, s[0].seq, s[0].qual,
+                  s[0].comment, (int64_t)aa[0].size(), aa[0], k, rg_id,
+                  &s[0].sam, &h[1]);
+        for (int64_t k = 0; k < (int64_t)aa[1].size(); ++k)
+          aln2sam(o, bns, s[1].name, s[1].l_seq, s[1].seq, s[1].qual,
+                  s[1].comment, (int64_t)aa[1].size(), aa[1], k, rg_id,
+                  &s[1].sam, &h[0]);
+        return n;
+      }
+    }
+  }
+  // ------- unpaired emission (golden pe.py:_sam_pe_unpaired) -------
+  AlnT h[2];
+  for (int i = 0; i < 2; ++i) {
+    int64_t which = -1;
+    if (!a[i].empty()) {
+      if (a[i][0].score >= o.T) which = 0;
+      else if (n_pri[i] < (int64_t)a[i].size() &&
+               a[i][n_pri[i]].score >= o.T)
+        which = n_pri[i];
+    }
+    if (which >= 0)
+      h[i] = reg2aln(o, bns, s[i].l_seq, s[i].seq, &a[i][which]);
+    else
+      h[i] = reg2aln(o, bns, s[i].l_seq, s[i].seq, nullptr);
+  }
+  if (!(o.flag & F_NOPAIRING) && h[0].rid == h[1].rid && h[0].rid >= 0 &&
+      !a[0].empty() && !a[1].empty()) {
+    int d;
+    int64_t dist;
+    infer_dir(bns.l_pac, a[0][0].rb, a[1][0].rb, &d, &dist);
+    if (!pes[d].failed && pes[d].low <= dist && dist <= pes[d].high)
+      extra_flag |= 2;
+  }
+  reg2sam(o, bns, s[0].name, s[0].l_seq, s[0].seq, s[0].qual,
+          s[0].comment, a[0], rg_id, &s[0].sam, 0x41 | extra_flag, &h[1]);
+  reg2sam(o, bns, s[1].name, s[1].l_seq, s[1].seq, s[1].qual,
+          s[1].comment, a[1], rg_id, &s[1].sam, 0x81 | extra_flag, &h[0]);
+  return n;
 }
 
 // ------------------------------------------------------------------
@@ -991,7 +1481,169 @@ PyObject* py_dedup_batch(PyObject*, PyObject* args) {
   return Py_BuildValue("(NNN)", rows_b, frac_b, off_b);
 }
 
+
+// pe_tail_batch(seq_cat, seq_off, qual_cat|None, name_cat, name_off,
+//               comment_cat, comment_off, ids i64[n],
+//               reg_rows i64[NR,12], reg_frac f64[NR], reg_off i64[n+1],
+//               pac, l_pac, ann_off, ann_alt, ann_name_cat, ann_name_off,
+//               rg_id y#, opt_ints i64[14], opt_floats f64[5], mat i8[25],
+//               pe_ints i64[3] (pen_unpaired, max_matesw, max_ins),
+//               pes f64[20]|None (low, high, failed, avg, std x4))
+//  -> (list[bytes] SAM per read, pes_out f64[20] bytes)
+PyObject* py_pe_tail_batch(PyObject*, PyObject* args) {
+  PyObject *seq_o, *seqoff_o, *qual_o, *name_o, *nameoff_o, *com_o,
+      *comoff_o, *ids_o, *regs_o, *frac_o, *regoff_o, *pac_o, *annoff_o,
+      *annalt_o, *annname_o, *annnameoff_o, *optint_o, *optflt_o, *mat_o,
+      *peint_o, *pes_o;
+  const char* rg_id_c;
+  Py_ssize_t rg_len;
+  long long l_pac;
+  if (!PyArg_ParseTuple(args, "OOOOOOOOOOOOLOOOOy#OOOOO", &seq_o,
+                        &seqoff_o, &qual_o, &name_o, &nameoff_o, &com_o,
+                        &comoff_o, &ids_o, &regs_o, &frac_o, &regoff_o,
+                        &pac_o, &l_pac, &annoff_o, &annalt_o, &annname_o,
+                        &annnameoff_o, &rg_id_c, &rg_len, &optint_o,
+                        &optflt_o, &mat_o, &peint_o, &pes_o))
+    return nullptr;
+  PyObject* objs[] = {seq_o,  seqoff_o,  name_o,     nameoff_o,
+                      com_o,  comoff_o,  ids_o,      regs_o,
+                      frac_o, regoff_o,  pac_o,      annoff_o,
+                      annalt_o, annname_o, annnameoff_o, optint_o,
+                      optflt_o, mat_o, peint_o};
+  const int NB = 19;
+  Py_buffer bufs[NB];
+  for (int i = 0; i < NB; ++i) {
+    if (!get_buf(objs[i], &bufs[i], "arg")) {
+      for (int j = 0; j < i; ++j) PyBuffer_Release(&bufs[j]);
+      return nullptr;
+    }
+  }
+  Py_buffer qualb, pesb;
+  bool has_qual = qual_o != Py_None;
+  if (has_qual && !get_buf(qual_o, &qualb, "qual")) {
+    for (int j = 0; j < NB; ++j) PyBuffer_Release(&bufs[j]);
+    return nullptr;
+  }
+  bool has_pes0 = pes_o != Py_None;
+  if (has_pes0 && !get_buf(pes_o, &pesb, "pes")) {
+    for (int j = 0; j < NB; ++j) PyBuffer_Release(&bufs[j]);
+    if (has_qual) PyBuffer_Release(&qualb);
+    return nullptr;
+  }
+
+  const uint8_t* seq_cat = (const uint8_t*)bufs[0].buf;
+  const int64_t* seq_off = (const int64_t*)bufs[1].buf;
+  const char* name_cat = (const char*)bufs[2].buf;
+  const int64_t* name_off = (const int64_t*)bufs[3].buf;
+  const char* com_cat = (const char*)bufs[4].buf;
+  const int64_t* com_off = (const int64_t*)bufs[5].buf;
+  const int64_t* ids = (const int64_t*)bufs[6].buf;
+  const int64_t* reg_rows = (const int64_t*)bufs[7].buf;
+  const double* reg_frac = (const double*)bufs[8].buf;
+  const int64_t* reg_off = (const int64_t*)bufs[9].buf;
+  const char* qual_cat = has_qual ? (const char*)qualb.buf : nullptr;
+  const int64_t* opti = (const int64_t*)bufs[15].buf;
+  const double* optf = (const double*)bufs[16].buf;
+  const int64_t* pei = (const int64_t*)bufs[18].buf;
+
+  Opt opt;
+  opt.a = (int32_t)opti[0]; opt.b = (int32_t)opti[1];
+  opt.o_del = (int32_t)opti[2]; opt.e_del = (int32_t)opti[3];
+  opt.o_ins = (int32_t)opti[4]; opt.e_ins = (int32_t)opti[5];
+  opt.w = (int32_t)opti[6]; opt.T = (int32_t)opti[7];
+  opt.flag = (int32_t)opti[8]; opt.min_seed_len = (int32_t)opti[9];
+  opt.max_chain_gap = (int32_t)opti[10];
+  opt.max_XA_hits = (int32_t)opti[11];
+  opt.max_XA_hits_alt = (int32_t)opti[12];
+  opt.mapQ_coef_fac = (int32_t)opti[13];
+  opt.mask_level = optf[0];
+  opt.mask_level_redun = optf[1];
+  opt.drop_ratio = optf[2];
+  opt.XA_drop_ratio = optf[3];
+  opt.mapQ_coef_len = optf[4];
+  std::memcpy(opt.mat, bufs[17].buf, 25);
+  PeOpt po;
+  po.pen_unpaired = (int32_t)pei[0];
+  po.max_matesw = (int32_t)pei[1];
+  po.max_ins = pei[2];
+  po.pen_clip5 = po.pen_clip3 = po.zdrop = 0;  // unused in the PE tail
+
+  Bns bns{(const uint8_t*)bufs[10].buf, (int64_t)l_pac,
+          (const int64_t*)bufs[11].buf,
+          (int64_t)(bufs[11].len / sizeof(int64_t)),
+          (const char*)bufs[13].buf, (const int64_t*)bufs[14].buf};
+  const uint8_t* ann_alt = (const uint8_t*)bufs[12].buf;
+  std::string rg_id(rg_id_c, rg_id_c + rg_len);
+  int64_t n = (int64_t)(bufs[6].len / sizeof(int64_t));
+
+  std::vector<std::string> sams((size_t)n);
+  double pes_out[20];
+  Py_BEGIN_ALLOW_THREADS
+  // phase 1: dedup + ALT flags for every read
+  std::vector<std::vector<Reg>> all((size_t)n);
+  for (int64_t r = 0; r < n; ++r) {
+    load_regs(reg_rows, reg_frac, reg_off[r], reg_off[r + 1], &all[r]);
+    dedup_patch(opt, bns, seq_cat + seq_off[r], all[r]);
+    for (Reg& p : all[r])
+      if (p.rid >= 0 && ann_alt[p.rid]) p.is_alt = 1;
+  }
+  // phase 2: per-batch insert-size stats (pair.c:49-112) unless -I
+  PeStatC pes[4];
+  if (has_pes0) {
+    const double* pv = (const double*)pesb.buf;
+    for (int d = 0; d < 4; ++d) {
+      pes[d].low = (int64_t)pv[d * 5 + 0];
+      pes[d].high = (int64_t)pv[d * 5 + 1];
+      pes[d].failed = (int32_t)pv[d * 5 + 2];
+      pes[d].avg = pv[d * 5 + 3];
+      pes[d].stdv = pv[d * 5 + 4];
+    }
+  } else {
+    pestat(opt, po, bns.l_pac, all, pes);
+  }
+  for (int d = 0; d < 4; ++d) {
+    pes_out[d * 5 + 0] = (double)pes[d].low;
+    pes_out[d * 5 + 1] = (double)pes[d].high;
+    pes_out[d * 5 + 2] = (double)pes[d].failed;
+    pes_out[d * 5 + 3] = pes[d].avg;
+    pes_out[d * 5 + 4] = pes[d].stdv;
+  }
+  // phase 3: per-pair rescue + pairing + SAM
+  for (int64_t i = 0; i < n / 2; ++i) {
+    PeRead rd[2];
+    std::vector<Reg> a2[2];
+    for (int j = 0; j < 2; ++j) {
+      int64_t r = 2 * i + j;
+      rd[j].name.assign(name_cat + name_off[r], name_cat + name_off[r + 1]);
+      rd[j].l_seq = (int32_t)(seq_off[r + 1] - seq_off[r]);
+      rd[j].seq = seq_cat + seq_off[r];
+      rd[j].qual = has_qual ? qual_cat + seq_off[r] : nullptr;
+      rd[j].comment.assign(com_cat + com_off[r], com_cat + com_off[r + 1]);
+      a2[j] = std::move(all[r]);
+    }
+    uint64_t pair_id = (uint64_t)(ids[2 * i] >> 1);
+    sam_pe(opt, po, bns, pes, pair_id, rd, a2, rg_id);
+    sams[2 * i] = std::move(rd[0].sam);
+    sams[2 * i + 1] = std::move(rd[1].sam);
+  }
+  Py_END_ALLOW_THREADS
+
+  PyObject* out = PyList_New((Py_ssize_t)n);
+  for (int64_t r = 0; r < n; ++r)
+    PyList_SET_ITEM(out, (Py_ssize_t)r,
+                    PyBytes_FromStringAndSize(sams[r].data(),
+                                              (Py_ssize_t)sams[r].size()));
+  for (int j = 0; j < NB; ++j) PyBuffer_Release(&bufs[j]);
+  if (has_qual) PyBuffer_Release(&qualb);
+  if (has_pes0) PyBuffer_Release(&pesb);
+  return Py_BuildValue(
+      "(NN)", out,
+      PyBytes_FromStringAndSize((const char*)pes_out, sizeof pes_out));
+}
+
 PyMethodDef methods[] = {
+    {"pe_tail_batch", py_pe_tail_batch, METH_VARARGS,
+     "batched PE tail: dedup + pestat + rescue + pairing + SAM text"},
     {"se_tail_batch", py_se_tail_batch, METH_VARARGS,
      "batched SE tail: dedup + primary + mapq + cigar + SAM text"},
     {"dedup_batch", py_dedup_batch, METH_VARARGS,

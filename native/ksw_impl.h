@@ -9,6 +9,7 @@
 #ifndef BWA_FLOW_TPU_KSW_IMPL_H
 #define BWA_FLOW_TPU_KSW_IMPL_H
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <utility>
@@ -208,6 +209,114 @@ int64_t ksw_global2(int qlen, const uint8_t* query, int tlen,
   return score;
 }
 
+
+
+// ------------------------------------------------------------------
+// Local alignment (ksw_align2) — exact port of the golden NumPy
+// emulation of ksw_u8/ksw_i16 (bwa_flow_tpu/ops/ksw.py:282-360,
+// bwa/ksw.c:111-378 semantics), used by PE mate rescue.
+// ------------------------------------------------------------------
+
+constexpr int KSW_XBYTE = 0x10000;
+constexpr int KSW_XSTOP = 0x20000;
+constexpr int KSW_XSUBO = 0x40000;
+constexpr int KSW_XSTART = 0x80000;
+
+struct KswResult {
+  int64_t score = 0, te = -1, qe = -1, score2 = -1, te2 = -1, tb = -1,
+          qb = -1;
+};
+
+inline KswResult ksw_local(int qlen, const uint8_t* query, int tlen,
+                           const uint8_t* target, const int8_t* mat, int m,
+                           int o_del, int e_del, int o_ins, int e_ins,
+                           int xtra, bool byte_mode) {
+  int64_t minsc = (xtra & KSW_XSUBO) ? (xtra & 0xFFFF) : 0x10000;
+  int64_t endsc = (xtra & KSW_XSTOP) ? (xtra & 0xFFFF) : 0x10000;
+  int64_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  int64_t shift = 0;
+  if (byte_mode) {
+    int8_t mn = 127;
+    for (int i = 0; i < m * m; ++i) mn = std::min(mn, mat[i]);
+    shift = -(int64_t)mn;
+  }
+  std::vector<int64_t> H(qlen, 0), E(qlen, 0), Hmax(qlen, 0), Hrow(qlen);
+  int64_t gmax = 0, te = -1;
+  struct Run { int64_t imax; int64_t i; };
+  std::vector<Run> b;
+  KswResult r;
+  for (int i = 0; i < tlen; ++i) {
+    const int8_t* q = mat + (int64_t)target[i] * m;
+    int64_t f = 0, imax = 0;
+    for (int j = 0; j < qlen; ++j) {
+      int64_t hd = j ? H[j - 1] : 0;
+      int64_t M = std::max(hd + q[query[j]], (int64_t)0);
+      int64_t h = std::max(std::max(M, E[j]), f);
+      Hrow[j] = h;
+      E[j] = std::max(std::max(h - oe_del, (int64_t)0),
+                      std::max(E[j] - e_del, (int64_t)0));
+      f = std::max(f - e_ins, std::max(h - oe_ins, (int64_t)0));
+      imax = std::max(imax, h);
+    }
+    H.swap(Hrow);
+    if (imax >= minsc) {
+      if (b.empty() || b.back().i + 1 != i) b.push_back({imax, i});
+      else if (b.back().imax < imax) b.back() = {imax, i};
+    }
+    if (imax > gmax) {
+      gmax = imax;
+      te = i;
+      Hmax = H;
+      if ((byte_mode && gmax + shift >= 255) || gmax >= endsc) break;
+    }
+  }
+  r.score = (byte_mode && gmax + shift >= 255) ? 255 : gmax;
+  r.te = te;
+  if (r.score != 255 || !byte_mode) {
+    if (te >= 0) {
+      int64_t mx = 0;
+      for (int j = 0; j < qlen; ++j) mx = std::max(mx, Hmax[j]);
+      for (int j = 0; j < qlen; ++j)
+        if (Hmax[j] == mx) { r.qe = j; break; }
+    }
+    if (!b.empty()) {
+      int8_t max_sc = -128;
+      for (int i = 0; i < m * m; ++i) max_sc = std::max(max_sc, mat[i]);
+      int64_t rad = (r.score + max_sc - 1) / max_sc;
+      int64_t low = te - rad, high = te + rad;
+      for (const Run& run : b)
+        if ((run.i < low || run.i > high) && run.imax > r.score2) {
+          r.score2 = run.imax;
+          r.te2 = run.i;
+        }
+    }
+  }
+  return r;
+}
+
+inline KswResult ksw_align2(int qlen, const uint8_t* query, int tlen,
+                            const uint8_t* target, const int8_t* mat,
+                            int m, int o_del, int e_del, int o_ins,
+                            int e_ins, int xtra) {
+  bool byte_mode = (xtra & KSW_XBYTE) != 0;
+  KswResult r = ksw_local(qlen, query, tlen, target, mat, m, o_del, e_del,
+                          o_ins, e_ins, xtra, byte_mode);
+  if ((xtra & KSW_XSTART) == 0 ||
+      ((xtra & KSW_XSUBO) && r.score < (xtra & 0xFFFF)))
+    return r;
+  std::vector<uint8_t> qr(query, query + r.qe + 1);
+  std::vector<uint8_t> tr(target, target + r.te + 1);
+  std::reverse(qr.begin(), qr.end());
+  std::reverse(tr.begin(), tr.end());
+  KswResult rr = ksw_local((int)qr.size(), qr.data(), (int)tr.size(),
+                           tr.data(), mat, m, o_del, e_del, o_ins, e_ins,
+                           (int)(KSW_XSTOP | r.score), byte_mode);
+  if (r.score == rr.score) {
+    r.tb = r.te - rr.te;
+    r.qb = r.qe - rr.qe;
+  }
+  return r;
+}
 
 }  // namespace bwaflow
 

@@ -72,3 +72,41 @@ def test_native_speedup(rng):
         ksw.ksw_global2_py(ql, q, tl, t, mat64, 6, 1, 6, 1, 50, True)
     tp = (time.time() - t0) * 10
     assert tn < tp, (tn, tp)
+
+
+def test_native_ksw_align2_matches_golden(rng):
+    """C++ ksw_align2 (mate-rescue local alignment) vs the golden NumPy
+    emulation, across byte/word modes and xtra combinations."""
+    import numpy as np
+    import pytest
+    from bwa_flow_tpu.ops import ksw
+    try:
+        from bwa_flow_tpu import _native
+    except ImportError:
+        pytest.skip("_native not built")
+    if not hasattr(_native, "ksw_align2"):
+        pytest.skip("binding absent")
+    from bwa_flow_tpu.utils.opts import MemOpt
+    mat = MemOpt().mat
+    for trial in range(200):
+        ql = int(rng.integers(5, 120))
+        tl = int(rng.integers(5, 300))
+        q = rng.integers(0, 4, ql).astype(np.uint8)
+        if rng.random() < 0.6:
+            t = np.concatenate([rng.integers(0, 4, max(0, (tl - ql) // 2))
+                                .astype(np.uint8), q,
+                                rng.integers(0, 4, tl).astype(np.uint8)]
+                               )[:tl].copy()
+            muts = rng.integers(0, tl, max(1, tl // 15))
+            t[muts] = rng.integers(0, 4, len(muts))
+        else:
+            t = rng.integers(0, 4, tl).astype(np.uint8)
+        xtra = (ksw.KSW_XSUBO | ksw.KSW_XSTART
+                | (ksw.KSW_XBYTE if rng.random() < 0.5 else 0)
+                | int(rng.integers(10, 40)))
+        want = ksw.ksw_align2(ql, q, tl, t, mat, 6, 1, 6, 1, xtra)
+        got = _native.ksw_align2(ql, q, tl, t,
+                                 np.ascontiguousarray(mat[:5, :5], np.int8),
+                                 5, 6, 1, 6, 1, xtra)
+        assert got == (want.score, want.te, want.qe, want.score2,
+                       want.te2, want.tb, want.qb), trial
