@@ -333,6 +333,11 @@ def main_mem(argv: list[str]) -> int:
         if nprocs > 1:
             it = dist.shard_batches(it, pid, nprocs)
         for batch in it:
+            if not args.append_comment:
+                # FASTA/Q comments reach the output only with -C
+                # (aux.copy_comment, fastmap.c)
+                for r in batch:
+                    r.comment = None
             if args.batch_reads:
                 for i in range(0, len(batch), args.batch_reads):
                     yield batch[i:i + args.batch_reads]

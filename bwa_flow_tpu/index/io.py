@@ -17,10 +17,19 @@ from .fmindex import Amb, Annotation, FMIndex, ReferenceMeta
 OCC_INTERVAL = 128  # bwa/bwt.h:36
 
 
+_BYTE_LUT = np.empty((256, 4), dtype=np.uint8)
+for _b in range(256):
+    _BYTE_LUT[_b] = ((_b >> 6) & 3, (_b >> 4) & 3, (_b >> 2) & 3, _b & 3)
+
+
 def _bwt_to_u8(seq_len: int, words: np.ndarray) -> np.ndarray:
-    """Expand 16-symbols-per-uint32 packing into a uint8 symbol array."""
-    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-    sym = ((words[:, None] >> shifts[None, :]) & 3).astype(np.uint8).reshape(-1)
+    """Expand 16-symbols-per-uint32 packing into a uint8 symbol array.
+
+    Byte-LUT expansion (first symbol sits in the top bits, i.e. the
+    most significant byte of the little-endian word) — the broadcasted
+    shift formulation takes minutes at Gbp scale."""
+    by = words.view(np.uint8).reshape(-1, 4)[:, ::-1]
+    sym = _BYTE_LUT[by].reshape(-1)
     return sym[:seq_len]
 
 
@@ -65,17 +74,19 @@ def read_bwt(path: str) -> tuple[np.ndarray, int, np.ndarray]:
     L2[1:] = raw[8:40].view(np.uint64).astype(np.int64)
     seq_len = int(L2[4])
     body = raw[40:].view(np.uint32)
-    n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
     n_words = (seq_len + 15) // 16
     words = np.empty(n_words, dtype=np.uint32)
-    w = 0
-    pos = 0
-    for _ in range(n_blocks):
-        pos += 8  # skip 4x uint64 counts
-        take = min(8, n_words - w)
-        words[w:w + take] = body[pos:pos + take]
-        pos += take
-        w += take
+    # every block is 8 count-u32s + 8 data words except a possibly
+    # partial final block — one reshape covers the regular prefix
+    # (a per-block Python loop takes minutes at Gbp scale)
+    n_full = n_words // 8
+    if n_full:
+        words[:n_full * 8] = \
+            body[:n_full * 16].reshape(n_full, 16)[:, 8:16].ravel()
+    tail = n_words - n_full * 8
+    if tail:
+        off = n_full * 16 + 8
+        words[n_full * 8:] = body[off:off + tail]
     return _bwt_to_u8(seq_len, words), primary, L2
 
 
@@ -170,22 +181,51 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
 
     A ``<prefix>.alt`` file (bwa-postalt convention: SAM-ish lines whose
     QNAME column names ALT contigs) marks those contigs is_alt, exactly as
-    bwa_idx_load_bns does; ``ignore_alt`` mirrors bwa mem -j."""
+    bwa_idx_load_bns does; ``ignore_alt`` mirrors bwa mem -j.
+
+    The TPU block layout is cached beside the artifacts as
+    ``<prefix>.tpu.npz`` on first load (Gbp-scale conversion otherwise
+    costs minutes); delete the file or set BWA_TPU_NO_INDEX_CACHE to
+    rebuild."""
+    cache = prefix + ".tpu.npz"
+    use_cache = not os.environ.get("BWA_TPU_NO_INDEX_CACHE")
+    if (use_cache and os.path.exists(cache)
+            and os.path.getmtime(cache) >= os.path.getmtime(
+                prefix + ".bwt")):
+        d = np.load(cache)
+        bns = read_ann_amb(prefix)
+        fm = FMIndex(seq_len=int(d["seq_len"]), primary=int(d["primary"]),
+                     L2=d["L2"], fm_blocks=d["fm_blocks"],
+                     sa_intv=int(d["sa_intv"]), sa=d["sa"], bns=bns)
+        _apply_alt(prefix, bns, ignore_alt)
+        return fm
     bwt_u8, primary, L2 = read_bwt(prefix + ".bwt")
     seq_len = int(L2[4])
     sa_intv, sa = read_sa(prefix + ".sa", seq_len, primary)
     bns = read_ann_amb(prefix)
-    alt_path = prefix + ".alt"
-    if not ignore_alt and os.path.exists(alt_path):
-        alt_names = set()
-        with open(alt_path) as f:
-            for line in f:
-                if line.startswith("@") or not line.strip():
-                    continue
-                alt_names.add(line.split("\t", 1)[0].split()[0])
-        for ann in bns.anns:
-            if ann.name in alt_names:
-                ann.is_alt = 1
+    _apply_alt(prefix, bns, ignore_alt)
     fm = FMIndex.from_bwt(bwt_u8, primary, sa_intv, sa, bns=bns)
     assert fm.seq_len == seq_len and (fm.L2 == L2).all()
+    if use_cache:
+        try:
+            np.savez(cache, seq_len=fm.seq_len, primary=fm.primary,
+                     L2=fm.L2, fm_blocks=fm.fm_blocks,
+                     sa_intv=fm.sa_intv, sa=fm.sa)
+        except OSError:
+            pass  # read-only index dir: skip the cache
     return fm
+
+
+def _apply_alt(prefix: str, bns: ReferenceMeta, ignore_alt: bool) -> None:
+    alt_path = prefix + ".alt"
+    if ignore_alt or not os.path.exists(alt_path):
+        return
+    alt_names = set()
+    with open(alt_path) as f:
+        for line in f:
+            if line.startswith("@") or not line.strip():
+                continue
+            alt_names.add(line.split("\t", 1)[0].split()[0])
+    for ann in bns.anns:
+        if ann.name in alt_names:
+            ann.is_alt = 1

@@ -50,7 +50,7 @@ class BatchAligner:
     seeded on host)."""
 
     def __init__(self, opt: MemOpt, fm: FMIndex, smem_L: int = 160,
-                 wave_cap: int = 512, qmax: int = 160, tmax: int = 512,
+                 wave_cap: int = 4096, qmax: int = 160, tmax: int = 512,
                  sa_chunk: int = 65536, validate_every: int = 0,
                  validate_sample: int = 2, device_timeout: float = 300.0):
         self.opt = opt
@@ -191,27 +191,66 @@ class BatchAligner:
         return luts
 
     # ------------------------------------------------------------------
-    def seeds_dispatch(self, seqs: list[np.ndarray]) -> dict:
+    def seeds_dispatch(self, seqs: list[np.ndarray],
+                       n_parts: int = 1) -> dict:
         """Dispatch stage 1 (device SMEM seeding) without blocking; the
         returned handle feeds seeds_collect. Dispatching the NEXT batch's
         seeding while this batch's host stages run keeps the device busy
-        (the pipeline-parallel analog of the reference's kflow stages)."""
+        (the pipeline-parallel analog of the reference's kflow stages).
+
+        n_parts > 1 uploads the padded batch once but defers the machine
+        sub-calls: seeds_step() launches one part at a time, letting the
+        driver interleave them between wave rounds so wave fetches never
+        wait behind one monolithic seed program."""
         import jax.numpy as jnp
         q, qlen = smem_jax.pad_reads(seqs, self.smem_L)
         q_dev = jnp.asarray(q)
-        h = smem_jax.seed_dispatch(self.opt, self.fm, self.dfm, seqs,
-                                   L=self.smem_L,
-                                   padded=(q_dev, jnp.asarray(qlen)))
-        h["n_reads"] = len(seqs)
+        qlen_dev = jnp.asarray(qlen)
+        n = len(seqs)
+        if n_parts <= 1 or n < 2 * n_parts:
+            bounds = [(0, n)]
+        else:
+            per = -(-n // n_parts)
+            bounds = [(i, min(i + per, n)) for i in range(0, n, per)]
+        h = dict(n_reads=n, q_dev=q_dev, qlen_dev=qlen_dev, seqs=seqs,
+                 bounds=bounds, parts=[], next=0)
+        self.seeds_step(h)  # always get the first part in flight
         return h
+
+    def seeds_step(self, h: dict) -> bool:
+        """Launch the next pending seed sub-call; False when none left."""
+        i = h["next"]
+        if i >= len(h["bounds"]):
+            return False
+        lo, hi = h["bounds"][i]
+        # pow2-bucket the part slice so parts share compiled programs
+        width = 64
+        while width < hi - lo:
+            width <<= 1
+        width = min(width, h["q_dev"].shape[0] - lo)
+        sub = smem_jax.seed_dispatch(
+            self.opt, self.fm, self.dfm, h["seqs"][lo:hi], L=self.smem_L,
+            padded=(h["q_dev"][lo:lo + width],
+                    h["qlen_dev"][lo:lo + width]))
+        h["parts"].append(sub)
+        h["next"] = i + 1
+        return True
 
     def seeds_collect(self, h: dict):
         """Finish a seeds_dispatch; pins the handle's padded read batch as
         the device-resident reads for the following extension waves."""
+        while self.seeds_step(h):
+            pass
         self.stats["reads"] += h["n_reads"]
         self._dev_reads = h["q_dev"]
         self._dev_reads_n = h["n_reads"]
-        return smem_jax.seed_collect(h, fetch=self.fetch)
+        intvs = []
+        sa_vals = []
+        for sub in h["parts"]:
+            intvs.extend(smem_jax.seed_collect(sub, fetch=self.fetch))
+            sa_vals.extend(sub.get("sa_vals") or [None] * len(sub["reads"]))
+        h["sa_vals"] = sa_vals
+        return intvs
 
     def collect_seeds(self, seqs: list[np.ndarray]):
         """Stage 1: device SMEM seeding (long reads fall back inside)."""
@@ -382,6 +421,8 @@ class BatchAligner:
                 with tracer.span("wave.apply"):
                     wave_native.apply_results(wd, si, out)
                 streams[si] = pack_run(si)
+                if on_started is not None:
+                    on_started()  # interleave the next seed sub-call
             o = 1 - si
             if streams[o] is None:
                 streams[o] = pack_run(o)

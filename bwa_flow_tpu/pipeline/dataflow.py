@@ -359,16 +359,19 @@ class AlignPipeline:
             nxt_box: dict = {}
 
             def dispatch_next():
-                # device seeds batch N+1 once the first wave rounds of
-                # batch N are queued, so the bulk of this batch's wave
-                # results don't wait behind the seed program
-                if (nxt is not None and self.ba.device_ok
-                        and "h" not in nxt_box):
-                    try:
+                # device seeds batch N+1 in sub-calls interleaved with
+                # batch N's wave rounds, so wave results wait behind at
+                # most one seed PART rather than the whole program
+                if nxt is None or not self.ba.device_ok:
+                    return
+                try:
+                    if "h" not in nxt_box:
                         nxt_box["h"] = self.ba.seeds_dispatch(
-                            [r.seq for r in nxt])
-                    except Exception as e:
-                        self._degrade(e)
+                            [r.seq for r in nxt], n_parts=2)
+                    else:
+                        self.ba.seeds_step(nxt_box["h"])
+                except Exception as e:
+                    self._degrade(e)
 
             if intvs is not None and self.ba.device_ok:
                 try:

@@ -106,3 +106,40 @@ def test_unpaired_penalty(fx):
 
 def test_preset_intractg(fx):
     check(fx, ["-x", "intractg"], ["-x", "intractg"], "se", "intractg")
+
+
+def test_comment_copy_C(fx, tmp_path):
+    """FASTQ comments appear in SAM only with -C (aux.copy_comment)."""
+    d, ref, *_ = fx
+    rng = np.random.default_rng(31)
+    contigs = orc.make_ref(rng, [("c1", 8000)], 0.0)
+    ref2 = tmp_path / "c.fa"
+    orc.write_fasta(ref2, contigs)
+    orc.oracle_index(ref2)
+    reads = orc.sample_se(rng, contigs, 40, read_len=101)
+    fq = tmp_path / "c.fq"
+    with open(fq, "w") as f:
+        for name, seq, qual in reads:
+            f.write(f"@{name} BC:Z:ACGT\n{seq.decode()}\n+\n"
+                    f"{qual.decode()}\n")
+    for opts in ([], ["-C"]):
+        want = orc.oracle_mem(ref2, [fq], ["-v", "1"] + opts)
+        out = tmp_path / f"c{'C' if opts else ''}.sam"
+        assert main_mem(["--disable-markdup", "--no-device",
+                         "-o", str(out)] + opts
+                        + [str(ref2), str(fq)]) == 0
+        diff = orc.sam_diff(out.read_text().splitlines(), want)
+        assert not diff, (opts, diff)
+
+
+def test_chunk_boundaries_K(fx, tmp_path):
+    """-K chunk sizing must match bwa's (pestat runs per chunk; read-id
+    hashes must line up across chunk boundaries)."""
+    d, ref, fq, fq1, fq2, inter = fx
+    o = ["-K", "100000"]
+    want = orc.oracle_mem(ref, [fq1, fq2], ["-v", "1"] + o)
+    out = tmp_path / "k.sam"
+    assert main_mem(["--disable-markdup", "--no-device", "-o", str(out)]
+                    + o + [str(ref), str(fq1), str(fq2)]) == 0
+    diff = orc.sam_diff(out.read_text().splitlines(), want)
+    assert not diff, diff
