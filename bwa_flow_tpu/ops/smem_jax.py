@@ -127,131 +127,6 @@ def _scatter1(arr, idx, val, do):
     return jnp.where(sel, val[:, None], arr)
 
 
-def _pass12_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
-                    min_seed_len, st0, task_mode: bool,
-                    task_x=None, task_mi=None, n_task=None):
-    """Shared pass-1/pass-2 SMEM machine. In task_mode, pivots come from a
-    per-lane (x, min_intv) task list; otherwise pivots scan the read with
-    the bwa jump rule (x <- end of longest match)."""
-    B = q.shape[0]
-    jl = jnp.arange(c.L, dtype=I32)[None, :]
-    valid_base = (jl < qlen[:, None]) & (q < 4)  # loop-invariant
-
-    def cond(s):
-        return (s["it"] < c.ITERS) & jnp.any(s["mode"] != 3)
-
-    def step(s):
-        mode = s["mode"]
-        # ---------------- mode 0: acquire next pivot ----------------
-        m0 = mode == 0
-        if task_mode:
-            has = s["tcur"] < n_task
-            nx = _take1(task_x, jnp.clip(s["tcur"], 0, c.MAXM - 1))
-            nmi = _take1(task_mi, jnp.clip(s["tcur"], 0, c.MAXM - 1))
-            new_x = jnp.where(m0 & has, nx, s["x"])
-            new_mi = jnp.where(m0 & has, nmi, s["min_intv"])
-            tcur = jnp.where(m0, s["tcur"] + 1, s["tcur"])
-            found = has
-        else:
-            ok_piv = (jl >= s["x"][:, None]) & valid_base
-            cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
-            found = cand < BIG32
-            new_x = jnp.where(m0 & found, cand, s["x"])
-            new_mi = s["min_intv"]
-            tcur = s["tcur"]
-        qx = _take1(q, jnp.clip(new_x, 0, c.L - 1))
-        init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
-        start_fwd = m0 & found
-        mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
-        x = new_x
-        ik = jnp.where(start_fwd[:, None], init_ik, s["ik"])
-        ik_info = jnp.where(start_fwd, x + 1, s["ik_info"])
-        i = jnp.where(start_fwd, x + 1, s["i"])
-        nb = jnp.where(start_fwd, 0, s["nb"])
-
-        # ---------------- the one shared extend ----------------
-        m1 = mode == 1
-        m2 = mode == 2
-        ext_in = jnp.where(m2[:, None], s["bst"], ik)
-        ok = bwt_extend_dir_batch(dfm, ext_in, m2)
-
-        # ---------------- mode 1: forward walk ----------------
-        q_i = _take1(q, jnp.clip(i, 0, c.L - 1))
-        end_now = m1 & ((i >= qlen) | (q_i > 3))
-        cf = jnp.clip(3 - q_i, 0, 3)
-        okc_f = _take_row(ok, cf)
-        changed = okc_f[:, 2] != ik[:, 2]
-        die_small = changed & (okc_f[:, 2] < new_mi)
-        push = m1 & (end_now | changed)
-        to_back = m1 & (end_now | die_small)
-        adv = m1 & ~to_back
-
-        nb_ovf = push & (nb >= c.MAXB)
-        curr_kls = _scatter_slot(s["curr_kls"], nb, ik, push & ~nb_ovf)
-        curr_end = _scatter1(s["curr_end"], nb, ik_info, push & ~nb_ovf)
-        nb = jnp.where(push & ~nb_ovf, nb + 1, nb)
-
-        ik = jnp.where(adv[:, None], okc_f, ik)
-        ik_info = jnp.where(adv, i + 1, ik_info)
-        i = jnp.where(adv, i + 1, i)
-
-        # fwd -> back transition (nb >= 1 always: something was pushed)
-        last = jnp.clip(nb - 1, 0, c.MAXB - 1)
-        pivot_next = jnp.where(to_back, _take1(curr_end, last),
-                               s["pivot_next"])
-        slot = jnp.where(to_back, nb - 1, s["slot"])
-        bst = jnp.where(to_back[:, None], _take_slot(curr_kls, last),
-                        s["bst"])
-        i_b = jnp.where(to_back, x - 1, s["i_b"])
-        r_prev = jnp.where(to_back, BIG32, s["r_prev"])
-        mode = jnp.where(to_back, 2, mode)
-
-        # ---------------- mode 2: backward walk ----------------
-        q_b = _take1(q, jnp.clip(i_b, 0, c.L - 1))
-        valid_c = (i_b >= 0) & (q_b < 4)
-        cb = jnp.clip(q_b, 0, 3)
-        okc_b = _take_row(ok, cb)
-        dead = m2 & (~valid_c | (okc_b[:, 2] < new_mi))
-        walk = m2 & ~dead
-        bst = jnp.where(walk[:, None], okc_b, bst)
-        i_b2 = jnp.where(walk, i_b - 1, i_b)
-
-        # death: cohort emission (see module docstring)
-        r = i_b
-        e_slot = _take1(curr_end, jnp.clip(slot, 0, c.MAXB - 1))
-        emit = dead & (r < s["r_prev"]) \
-            & ((e_slot - (r + 1)) >= min_seed_len)
-        info = (((r + 1).astype(I64) << 32)
-                | e_slot.astype(I64))
-        new_mem = jnp.concatenate([bst, info[:, None]], axis=1)
-        mem_ovf = emit & (s["n_mem"] >= c.MAXM)
-        mems = _scatter_slot(s["mems"], s["n_mem"], new_mem, emit & ~mem_ovf)
-        n_mem = jnp.where(emit & ~mem_ovf, s["n_mem"] + 1, s["n_mem"])
-        r_prev = jnp.where(dead, r, r_prev)
-
-        slot2 = jnp.where(dead, slot - 1, slot)
-        more = dead & (slot2 >= 0)
-        nxt = jnp.clip(slot2, 0, c.MAXB - 1)
-        bst = jnp.where(more[:, None], _take_slot(curr_kls, nxt), bst)
-        i_b2 = jnp.where(more, x - 1, i_b2)
-        back_done = dead & (slot2 < 0)
-        mode = jnp.where(back_done, 0, mode)
-        if not task_mode:  # bwa pivot jump: x <- end of longest match
-            x = jnp.where(back_done, pivot_next, x)
-
-        ovf = s["ovf"] | nb_ovf | mem_ovf
-        mode = jnp.where(nb_ovf | mem_ovf, 3, mode)
-        return dict(mode=mode, x=x, i=i, ik=ik, ik_info=ik_info,
-                    min_intv=new_mi, nb=nb, curr_kls=curr_kls,
-                    curr_end=curr_end, slot=slot2, bst=bst, i_b=i_b2,
-                    r_prev=r_prev, pivot_next=pivot_next, tcur=tcur,
-                    mems=mems, n_mem=n_mem, ovf=ovf, it=s["it"] + 1)
-
-    out = jax.lax.while_loop(cond, step, st0)
-    out["ovf"] = out["ovf"] | (out["mode"] != 3)  # iteration budget blown
-    return out
-
-
 def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
                    min_seed_len, max_mem_intv, mems, n_mem, ovf):
     """LAST-like third pass (bwt_seed_strategy1, bwa/bwt.c:358-379)."""
@@ -310,7 +185,238 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
     return out["mems"], out["n_mem"], out["ovf"] | (out["mode"] != 3)
 
 
+# ---------------------------------------------------------------------------
+# Phase-split machine (round 3): the coupled pivot/forward/backward machine
+# above serializes every backward walk behind every other one — ~1000
+# all-lane iterations for a 151 bp batch. The split runs (A) a forward-only
+# serial scan that RECORDS break intervals instead of walking them back
+# (~L iterations), then (B) ONE batch-parallel backward phase where every
+# break of every read walks simultaneously (~max-SMEM-length iterations),
+# with the cohort-emission rule applied post-hoc as array ops. Pass 2's
+# re-seed tasks are independent, so its forward walks also run in parallel
+# (one lane per (read, task)). Same emission semantics, ~4x fewer
+# all-lane-barrier iterations and no [B,4,MAXM] rewrite inside any loop.
+
+
+def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
+                      q_flat, read_id, qlen_l, mi, st0, task_mode: bool,
+                      q2=None, qlen2=None):
+    """Phase A: forward-only scan recording break intervals.
+
+    Lanes NL: pass 1 = one per read (pivot jump rule is serial); pass 2
+    = one per (read, task) (tasks are independent). Per-lane state in
+    st0; break store: brk_kls [NL,3,NB] i64, brk_end/brk_x/brk_g
+    [NL,NB] i32. In task_mode the pivot-acquisition scan is compiled
+    out (st0 arrives pre-initialized in mode 1/3)."""
+    NL = st0["mode"].shape[0]
+    if not task_mode:
+        jl = jnp.arange(L, dtype=I32)[None, :]
+        valid_base = (jl < qlen2[:, None]) & (q2 < 4)
+
+    def cond(s):
+        return (s["it"] < ITERS) & jnp.any(s["mode"] != 3)
+
+    def step(s):
+        mode = s["mode"]
+        x, i, ik, ik_info, g, nb = (s["x"], s["i"], s["ik"], s["ik_info"],
+                                    s["g"], s["nb"])
+        if not task_mode:
+            # -------- mode 0: acquire next pivot (bwa jump rule) --------
+            m0 = mode == 0
+            ok_piv = (jl >= x[:, None]) & valid_base
+            cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
+            found = cand < BIG32
+            start = m0 & found
+            x = jnp.where(start, cand, x)
+            qx = q_flat[read_id * L + jnp.clip(x, 0, L - 1)]
+            init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
+            mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
+            ik = jnp.where(start[:, None], init_ik, ik)
+            ik_info = jnp.where(start, x + 1, ik_info)
+            i = jnp.where(start, x + 1, i)
+            g = jnp.where(start, g + 1, g)
+
+        # -------- mode 1: one forward step --------
+        m1 = mode == 1
+        q_i = q_flat[read_id * L + jnp.clip(i, 0, L - 1)]
+        end_now = m1 & ((i >= qlen_l) | (q_i > 3))
+        cf = jnp.clip(3 - q_i, 0, 3)
+        ok = bwt_extend_dir_batch(dfm, ik, jnp.zeros(NL, bool))
+        okc = _take_row(ok, cf)
+        changed = okc[:, 2] != ik[:, 2]
+        die = changed & (okc[:, 2] < mi)
+        push = m1 & (end_now | changed)
+        to_next = m1 & (end_now | die)
+        adv = m1 & ~to_next
+
+        nb_ovf = push & (nb >= NB)
+        do = push & ~nb_ovf
+        brk_kls = _scatter_slot(s["brk_kls"], nb, ik, do)
+        brk_end = _scatter1(s["brk_end"], nb, ik_info, do)
+        brk_x = _scatter1(s["brk_x"], nb, x, do)
+        brk_g = _scatter1(s["brk_g"], nb, g, do)
+        nb = jnp.where(do, nb + 1, nb)
+
+        ik = jnp.where(adv[:, None], okc, ik)
+        ik_info = jnp.where(adv, i + 1, ik_info)
+        i = jnp.where(adv, i + 1, i)
+        if task_mode:
+            mode = jnp.where(to_next, 3, mode)
+        else:
+            # next pivot = end of longest match (= last push's end)
+            x = jnp.where(to_next, ik_info, x)
+            mode = jnp.where(to_next, 0, mode)
+        ovf = s["ovf"] | nb_ovf
+        mode = jnp.where(nb_ovf, 3, mode)
+        return dict(mode=mode, x=x, i=i, ik=ik, ik_info=ik_info, g=g,
+                    nb=nb, brk_kls=brk_kls, brk_end=brk_end, brk_x=brk_x,
+                    brk_g=brk_g, ovf=ovf, it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, step, st0)
+    out["ovf"] = out["ovf"] | (out["mode"] != 3)
+    return out
+
+
+def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
+                      mi, alive0):
+    """Phase B: every break interval walks backward simultaneously.
+
+    Flat lanes M = one per recorded break. Returns (r int32[M] death
+    step, bst int64[M,3] state at maximal backward reach)."""
+    M = i_b0.shape[0]
+    st0 = dict(bst=bst0, i_b=i_b0, alive=alive0,
+               r=jnp.where(alive0, BIG32, i_b0), it=jnp.zeros((), I32))
+
+    def cond(s):
+        return (s["it"] < L + 2) & jnp.any(s["alive"])
+
+    def step(s):
+        alive, i_b, bst = s["alive"], s["i_b"], s["bst"]
+        qb = q_flat[read_id * L + jnp.clip(i_b, 0, L - 1)]
+        valid_c = (i_b >= 0) & (qb < 4)
+        ok = bwt_extend_dir_batch(dfm, bst, jnp.ones(M, bool))
+        okc = _take_row(ok, jnp.clip(qb, 0, 3))
+        dead = alive & (~valid_c | (okc[:, 2] < mi))
+        walk = alive & ~dead
+        bst = jnp.where(walk[:, None], okc, bst)
+        i_b = jnp.where(walk, i_b - 1, i_b)
+        r = jnp.where(dead, i_b, s["r"])
+        return dict(bst=bst, i_b=i_b, alive=walk, r=r, it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, step, st0)
+    # iteration budget blown (never for L+2 >= max walk): treat as death
+    return jnp.where(out["alive"], out["i_b"], out["r"]), out["bst"]
+
+
+def _cohort_emit(r, brk_g, valid, NB: int):
+    """min of r over later slots in the same group (the walk processes
+    groups in slot order, longest-forward first within a group): the
+    r_prev value each break's emission test compares against."""
+    NL = r.shape[0]
+
+    def body(jj, carry):
+        j = NB - 1 - jj
+        m_out, g_c, m_c = carry
+        gj = brk_g[:, j]
+        vj = valid[:, j]
+        same = vj & (gj == g_c)
+        m_out = m_out.at[:, j].set(jnp.where(same, m_c, BIG32))
+        m_new = jnp.where(same, jnp.minimum(m_c, r[:, j]), r[:, j])
+        m_c = jnp.where(vj, m_new, m_c)
+        g_c = jnp.where(vj, gj, g_c)
+        return m_out, g_c, m_c
+
+    m_out = jnp.full((NL, NB), BIG32, I32)
+    g_c = jnp.full(NL, -1, I32)
+    m_c = jnp.full(NL, BIG32, I32)
+    m_out, _, _ = jax.lax.fori_loop(0, NB, body, (m_out, g_c, m_c))
+    return m_out
+
+
+def _compact(vflat, budget: int):
+    """Pack the True positions of vflat (flat, any order-significant
+    layout) into `budget` dense lanes, order-preserving.
+
+    Returns (src int32[budget] = flat index feeding each lane,
+    dst int32[N] = lane of each flat position (== budget when dropped),
+    lane_ok bool[budget], dropped bool[N]). Scatter/gather based — no
+    argsort; cumsum + one dropping scatter."""
+    n = vflat.shape[0]
+    v32 = vflat.astype(I32)
+    rank = jnp.cumsum(v32) - v32                     # exclusive prefix
+    dropped = vflat & (rank >= budget)
+    dst = jnp.where(vflat & ~dropped, rank, budget)
+    src = jnp.zeros(budget, I32).at[dst].set(
+        jnp.arange(n, dtype=I32), mode="drop")
+    total = jnp.minimum(rank[-1] + v32[-1], budget)
+    lane_ok = jnp.arange(budget, dtype=I32) < total
+    return src, dst, lane_ok, dropped
+
+
+def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
+               read_id, qlen_l, mi, min_seed_len, st0, task_mode: bool,
+               PBUD: int, q2=None, qlen2=None):
+    """One full SMEM pass: forward scan + parallel backward + emission.
+
+    The backward walk runs over a batch-global pool of PBUD lanes packed
+    from the valid break slots (typical reads record ~12 breaks of an
+    NB-slot budget; walking the raw [NL*NB] grid would spend ~5x the
+    occ-probe bandwidth on dead lanes). Reads whose breaks do not fit
+    the pool overflow to the host redo path.
+
+    Returns (mems [NL,4,NB] dense-front in bwa emission order,
+    n1 int32[NL], ovf bool[NL])."""
+    NL = st0["mode"].shape[0]
+    s = _fwd_scan_machine(dfm, L, NB, ITERS, q_flat, read_id, qlen_l, mi,
+                          st0, task_mode, q2=q2, qlen2=qlen2)
+    nb, brk_g = s["nb"], s["brk_g"]
+    slot = jnp.arange(NB, dtype=I32)[None, :]
+    valid = slot < nb[:, None]
+
+    # pack valid breaks into the backward-walk pool
+    src, dst, lane_ok, dropped = _compact(valid.reshape(-1), PBUD)
+    lane_nl = src // NB                               # owning lane row
+    bst0 = s["brk_kls"].transpose(0, 2, 1).reshape(NL * NB, 3)[src]
+    i_b0 = (s["brk_x"] - 1).reshape(-1)[src]
+    rid_b = read_id[lane_nl]
+    mi_b = mi[lane_nl]
+    r_l, bst_l = _bwd_walk_machine(dfm, L, q_flat, rid_b, bst0, i_b0,
+                                   mi_b, lane_ok)
+    # scatter-back = gather through dst (index PBUD -> sentinel row)
+    r_pad = jnp.concatenate([r_l, jnp.full((1,), BIG32, I32)])
+    bst_pad = jnp.concatenate([bst_l, jnp.zeros((1, 3), I64)])
+    r = r_pad[dst].reshape(NL, NB)
+    bst = bst_pad[dst].reshape(NL, NB, 3).transpose(0, 2, 1)  # [NL,3,NB]
+    valid = valid & ~dropped.reshape(NL, NB)
+    ovf_pool = dropped.reshape(NL, NB).any(axis=1)
+
+    # cohort emission: first break of each distinct-death-step cohort,
+    # processed longest-forward-first within its pivot/task group
+    m_prev = _cohort_emit(r, brk_g, valid, NB)
+    end = s["brk_end"]
+    emit = valid & (r < m_prev) & ((end - (r + 1)) >= min_seed_len)
+    info = ((r.astype(I64) + 1) << 32) | end.astype(I64)
+    # bwa appends in death order: group ascending, slot descending
+    key = jnp.where(emit, brk_g * (2 * NB) + (NB - slot), BIG32)
+    order = jnp.argsort(key, axis=1)
+    mems = jnp.concatenate([bst, info[:, None, :]], axis=1)  # [NL,4,NB]
+    mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)
+    n1 = emit.sum(axis=1).astype(I32)
+    return mems, n1, s["ovf"], ovf_pool
+
+
 MAXO = 64  # per-read SA-occurrence budget for the fused seed+SA output
+
+# overflow-source bits (the ovf output is an int32 bitmask; nonzero ->
+# host golden redo). Production counters aggregate these for tuning.
+OVF_P1_FWD = 1     # pass-1 forward scan: NB break cap or ITERS
+OVF_P1_POOL = 2    # pass-1 backward pool (PBUD1) exhausted
+OVF_TASKPOOL = 4   # pass-2 re-seed task pool (TBUD) exhausted
+OVF_P2_FWD = 8     # pass-2 forward scan: NB2 cap or ITERS
+OVF_P2_POOL = 16   # pass-2 backward pool (PBUD2) exhausted
+OVF_P2_EMIT = 32   # pass-2 per-read emission cap (M2)
+OVF_P3 = 64        # pass-3 mem-slot cap (NP3)
+OVF_MEMS = 128     # total mems > MAXM
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -333,63 +439,113 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     SA round trip; reads whose total occurrence count exceeds MAXO are
     resolved by the caller through the probe path."""
     B = q.shape[0]
-    c = _MachineConsts(L, MAXB, MAXM, ITERS)
+    NB = max(MAXB, 128)  # pass-1 break budget (total across pivots);
+    # mutated reads record ~35 breaks (tail ~90+), see PBUD1 note below
+    NB2, NP3 = 32, 24          # per-task break budget / pass-3 mem slots
+    M2 = min(64, MAXM)         # per-read pass-2 emission cap
+    # a forward walk records ~log4(genome) breaks per pivot (distinct-s
+    # steps) and mutated reads carry several pivots: ~35 breaks/151 bp
+    # read at 1% SNPs on a 2 Mbp genome (tail ~90)
+    PBUD1 = 48 * B             # pass-1 backward-pool lanes
+    TBUD = 2 * B               # task pool (mean ~1 re-seed task/read)
+    PBUD2 = 32 * B             # pass-2 backward-pool lanes
+    q_flat = q.reshape(-1)
+    rid = jnp.arange(B, dtype=I32)
 
-    def fresh(mems, n_mem, ovf, min_intv):
+    def fresh(NL, NBc):
         return dict(
-            mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
-            i=jnp.zeros(B, I32), ik=jnp.zeros((B, 3), I64),
-            ik_info=jnp.zeros(B, I32), min_intv=min_intv,
-            nb=jnp.zeros(B, I32),
-            curr_kls=jnp.zeros((B, 3, MAXB), I64),
-            curr_end=jnp.zeros((B, MAXB), I32),
-            slot=jnp.zeros(B, I32), bst=jnp.zeros((B, 3), I64),
-            i_b=jnp.zeros(B, I32), r_prev=jnp.full(B, BIG32, I32),
-            pivot_next=jnp.zeros(B, I32), tcur=jnp.zeros(B, I32),
-            mems=mems, n_mem=n_mem, ovf=ovf, it=jnp.zeros((), I32))
+            mode=jnp.zeros(NL, I32), x=jnp.zeros(NL, I32),
+            i=jnp.zeros(NL, I32), ik=jnp.zeros((NL, 3), I64),
+            ik_info=jnp.zeros(NL, I32), g=jnp.zeros(NL, I32),
+            nb=jnp.zeros(NL, I32),
+            brk_kls=jnp.zeros((NL, 3, NBc), I64),
+            brk_end=jnp.zeros((NL, NBc), I32),
+            brk_x=jnp.zeros((NL, NBc), I32),
+            brk_g=jnp.zeros((NL, NBc), I32),
+            ovf=jnp.zeros(NL, bool), it=jnp.zeros((), I32))
 
-    mems0 = jnp.zeros((B, 4, MAXM), I64)
-    n0 = jnp.zeros(B, I32)
-    ovf0 = jnp.zeros(B, bool)
+    # pass 1: pivot-scan forward machine + parallel backward, min_intv=1
+    mems1, n1, ovf_f1, ovf_p1 = _smem_pass(
+        dfm, L, NB, ITERS, q_flat, rid, qlen, jnp.ones(B, I64),
+        min_seed_len, fresh(B, NB), task_mode=False, PBUD=PBUD1,
+        q2=q, qlen2=qlen)
+    # ovf is an int32 bitmask of budget-exhaustion sources (diagnosable
+    # in production; any nonzero bit routes the read to the host redo)
+    ovf = ovf_f1.astype(I32) * OVF_P1_FWD + ovf_p1.astype(I32) * OVF_P1_POOL
 
-    # pass 1: scan pivots, min_intv = 1
-    s1 = _pass12_machine(dfm, c, q, qlen, min_seed_len,
-                         fresh(mems0, n0, ovf0, jnp.ones(B, I64)),
-                         task_mode=False)
-    mems, n_mem, ovf = s1["mems"], s1["n_mem"], s1["ovf"]
-
-    # pass 2: re-seed long low-occ SMEMs from the middle, min_intv = s+1
-    slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
-    start = (mems[:, 3, :] >> 32).astype(I32)
-    end = (mems[:, 3, :] & 0xFFFFFFFF).astype(I32)
-    want = (slot_i < n_mem[:, None]) \
+    # pass 2: re-seed long low-occ SMEMs from the middle, min_intv = s+1;
+    # tasks are independent -> lanes from a batch-global compacted task
+    # pool (typical task count is ~1/read; a per-read task grid would
+    # waste ~16x the forward-machine bandwidth)
+    slot1 = jnp.arange(NB, dtype=I32)[None, :]
+    start = (mems1[:, 3, :] >> 32).astype(I32)
+    end = (mems1[:, 3, :] & 0xFFFFFFFF).astype(I32)
+    want = (slot1 < n1[:, None]) \
         & ((end - start) >= split_len) \
-        & (mems[:, 2, :] <= split_width.astype(I64))
-    order = jnp.argsort(~want, axis=1, stable=True)
+        & (mems1[:, 2, :] <= split_width.astype(I64))
     mid = ((start + end) >> 1).astype(I32)
-    task_x = jnp.take_along_axis(mid, order, axis=1)
-    task_mi = jnp.take_along_axis(mems[:, 2, :] + 1, order, axis=1)
-    n_task = want.sum(axis=1).astype(I32)
-
-    s2 = _pass12_machine(dfm, c, q, qlen, min_seed_len,
-                         fresh(mems, n_mem, ovf, jnp.ones(B, I64)),
-                         task_mode=True, task_x=task_x, task_mi=task_mi,
-                         n_task=n_task)
-    mems, n_mem, ovf = s2["mems"], s2["n_mem"], s2["ovf"]
+    tsrc, _tdst, tv, tdrop = _compact(want.reshape(-1), TBUD)
+    ovf = ovf | tdrop.reshape(B, NB).any(axis=1).astype(I32) * OVF_TASKPOOL
+    rid2 = tsrc // NB                                  # owning read
+    tx = jnp.where(tv, mid.reshape(-1)[tsrc], 0)
+    tmi = jnp.where(tv, (mems1[:, 2, :] + 1).reshape(-1)[tsrc], I64(1))
+    qx = q_flat[rid2 * L + jnp.clip(tx, 0, L - 1)]
+    st2 = fresh(TBUD, NB2)
+    st2.update(mode=jnp.where(tv, 1, 3), x=tx, i=tx + 1,
+               ik=set_intv_batch(dfm, jnp.clip(qx, 0, 3)), ik_info=tx + 1)
+    mems2l, n2l, ovf2f, ovf2p = _smem_pass(dfm, L, NB2, ITERS, q_flat,
+                                           rid2, qlen[rid2], tmi,
+                                           min_seed_len, st2,
+                                           task_mode=True, PBUD=PBUD2)
+    ovf2l = (ovf2f.astype(I32) * OVF_P2_FWD
+             + ovf2p.astype(I32) * OVF_P2_POOL)
+    ovf = ovf | jnp.zeros(B, I32).at[rid2].max(
+        jnp.where(tv, ovf2l, 0), mode="drop")
+    # merge task-lane emissions per read: lanes are read-major (compaction
+    # preserves (read, slot) order) and dense-front, so the flat entry
+    # order IS bwa's append order; scatter entries into a [B, M2] grid
+    slot2 = jnp.arange(NB2, dtype=I32)[None, :]
+    v2 = ((slot2 < n2l[:, None]) & tv[:, None]).reshape(-1)
+    rid2e = jnp.repeat(rid2, NB2)                      # entry -> read
+    v32 = v2.astype(I32)
+    grank = jnp.cumsum(v32) - v32
+    cnt2 = jnp.zeros(B, I32).at[rid2e].add(v32, mode="drop")
+    base2 = jnp.cumsum(cnt2) - cnt2
+    p2 = grank - base2[rid2e]                          # pos within read
+    keep2 = v2 & (p2 < M2)
+    ovf = ovf | jnp.zeros(B, I32).at[rid2e].max(
+        (v2 & (p2 >= M2)).astype(I32) * OVF_P2_EMIT, mode="drop")
+    dst2 = jnp.where(keep2, rid2e * M2 + p2, B * M2)
+    ent2 = mems2l.transpose(0, 2, 1).reshape(TBUD * NB2, 4)
+    mems2 = jnp.zeros((B * M2, 4), I64).at[dst2].set(
+        ent2, mode="drop").reshape(B, M2, 4).transpose(0, 2, 1)
+    n2 = jnp.minimum(cnt2, M2)
 
     # pass 3: LAST-like forward-only seeding (skipped if max_mem_intv <= 0)
-    mems3, n3, ovf3 = _pass3_machine(dfm, c, q, qlen, min_seed_len,
-                                     max_mem_intv, mems, n_mem, ovf)
+    c3 = _MachineConsts(L, MAXB, NP3, ITERS)
+    mems3, n3, ovf3 = _pass3_machine(dfm, c3, q, qlen, min_seed_len,
+                                     max_mem_intv,
+                                     jnp.zeros((B, 4, NP3), I64),
+                                     jnp.zeros(B, I32),
+                                     jnp.zeros(B, bool))
     use3 = max_mem_intv > 0
-    mems = jnp.where(use3, mems3, mems)
-    n_mem = jnp.where(use3, n3, n_mem)
-    ovf = jnp.where(use3, ovf3, ovf)
+    n3 = jnp.where(use3, n3, 0)
+    ovf = ovf | (use3 & ovf3).astype(I32) * OVF_P3
 
+    # concatenate in bwa append order (each section dense-front), then
     # final sort by info (ks_introsort mem_intv semantics)
-    key = jnp.where(slot_i < n_mem[:, None], mems[:, 3, :],
-                    jnp.iinfo(jnp.int64).max)
+    mems = jnp.concatenate([mems1, mems2, mems3], axis=2)
+    valid_all = jnp.concatenate(
+        [slot1 < n1[:, None],
+         jnp.arange(M2, dtype=I32)[None, :] < n2[:, None],
+         jnp.arange(NP3, dtype=I32)[None, :] < n3[:, None]], axis=1)
+    n_mem = n1 + n2 + n3
+    ovf = ovf | (n_mem > MAXM).astype(I32) * OVF_MEMS
+    n_mem = jnp.minimum(n_mem, MAXM)
+    key = jnp.where(valid_all, mems[:, 3, :], jnp.iinfo(jnp.int64).max)
     order = jnp.argsort(key, axis=1)
-    mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)
+    mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)[:, :, :MAXM]
+    slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
 
     # fused on-device SA resolution of the occurrence enumeration
     if dfm.sa_dense is not None:

@@ -65,10 +65,11 @@ def sharded_seed_step(mesh: Mesh, L: int, MAXB: int, MAXM: int, ITERS: int,
         # device-varying; skip the static VMA check
         check_vma=False)
     def step(dfm, q, qlen):
-        mems, n_mem, ovf = collect_intv_device(
+        mems, n_mem, ovf, _occ_sa, _occ_total = collect_intv_device(
             dfm, L, MAXB, MAXM, ITERS, q, qlen,
             jnp.asarray(19, jnp.int32), jnp.asarray(28, jnp.int32),
-            jnp.asarray(10, jnp.int32), jnp.asarray(20, jnp.int64))
+            jnp.asarray(10, jnp.int32), jnp.asarray(20, jnp.int64),
+            jnp.asarray(500, jnp.int64))
         # global seed-count histogram over all chips (pestat-merge analog)
         hist = jnp.zeros((MAXM + 1,), jnp.int32).at[
             jnp.clip(n_mem, 0, MAXM)].add(1)
