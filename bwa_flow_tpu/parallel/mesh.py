@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.chain2aln_jax import seed_extend_batch
 from ..ops.fm_jax import DeviceFM
 from ..ops.smem_jax import collect_intv_device
 
@@ -75,5 +76,49 @@ def sharded_seed_step(mesh: Mesh, L: int, MAXB: int, MAXM: int, ITERS: int,
             jnp.clip(n_mem, 0, MAXM)].add(1)
         hist = jax.lax.psum(hist, axis)
         return mems, n_mem, ovf, hist
+
+    return jax.jit(step)
+
+
+def sharded_align_step(mesh: Mesh, L: int, MAXB: int, MAXM: int,
+                       ITERS: int, QMAX: int, TMAX: int, axis: str = "dp"):
+    """The FULL per-batch device step, sharded over the dp mesh: the SMEM
+    seeding machine *and* the coupled banded-extension kernel on each
+    chip's read shard, plus the two collective merges the production
+    pipeline rides on — a psum'd seed histogram (markdup-signature merge
+    analog) and a psum'd extension-score sum (global PE insert-size /
+    pestat merge analog). This is the multi-chip analog of the
+    reference's per-node compute_flow (mpi_main.cpp:309-317) with XLA
+    collectives replacing the MPI channels."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis),
+                  P(axis, None), P(axis), P(axis, None), P(axis),
+                  P(axis), P()),
+        out_specs=(P(axis, None, None), P(axis), P(axis, None), P(), P()),
+        check_vma=False)
+    def step(dfm, q, qlen, qr_q, qr_n, tr_t, tr_n, h0, mat):
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+        mems, n_mem, ovf, _occ_sa, _occ_total = collect_intv_device(
+            dfm, L, MAXB, MAXM, ITERS, q, qlen,
+            i32(19), i32(28), i32(10),
+            jnp.asarray(20, jnp.int64), jnp.asarray(500, jnp.int64))
+        B = q.shape[0]
+        z_t = jnp.zeros((B, TMAX), jnp.int32)
+        ext = seed_extend_batch(
+            QMAX, TMAX, jnp.zeros((B, QMAX), jnp.int32),
+            jnp.zeros(B, jnp.int32), z_t, jnp.zeros(B, jnp.int32),
+            qr_q, qr_n, tr_t, tr_n, h0, mat,
+            i32(6), i32(1), i32(6), i32(1), i32(100), i32(5), i32(5),
+            i32(100))
+        rscore = ext[6]
+        hist = jnp.zeros((MAXM + 1,), jnp.int32).at[
+            jnp.clip(n_mem, 0, MAXM)].add(1)
+        hist = jax.lax.psum(hist, axis)
+        score_sum = jax.lax.psum(rscore.sum(dtype=jnp.int64), axis)
+        return mems, n_mem, jnp.stack([rscore,
+                                       ovf.astype(rscore.dtype)], axis=1), \
+            hist, score_sum
 
     return jax.jit(step)
