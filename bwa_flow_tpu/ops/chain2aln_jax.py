@@ -146,7 +146,11 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     qbeg = desc[1].astype(i32)
     slen = desc[2].astype(i32)
     l_query = desc[3].astype(i32)
-    rbeg, rmax0, rmax1 = desc[4], desc[5], desc[6]
+    # genome coordinates compute in int64; the host narrows the whole
+    # descriptor block to int32 when the genome fits (fewer tunnel bytes)
+    rbeg = desc[4].astype(jnp.int64)
+    rmax0 = desc[5].astype(jnp.int64)
+    rmax1 = desc[6].astype(jnp.int64)
     h0 = desc[7].astype(i32)
     wl = desc[8].astype(i32)
     wr = desc[9].astype(i32)
@@ -156,10 +160,11 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     reads_flat = reads.reshape(-1)
 
     def read_gather(pos):
-        """reads[read_idx[t], pos[t, j]] via flat 1-D gather."""
+        """reads[read_idx[t], pos[t, j]] via flat 1-D gather (reads
+        upload as uint8; widen after the gather)."""
         idx = (read_idx[:, None] * L_reads
                + jnp.clip(pos, 0, L_reads - 1)).reshape(-1)
-        return reads_flat[idx].reshape(T, -1)
+        return reads_flat[idx].reshape(T, -1).astype(i32)
 
     # left: query[qbeg-1-j], target pac[rbeg-1-j], lengths qbeg / rbeg-rmax0
     ql_n = jnp.where(skip_left, 0, qbeg)
@@ -192,6 +197,17 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     out = (lscore, lres[1], lres[2], lres[3], lres[4], lres[5],
            rscore, rres[1], rres[2], rres[3], rres[4], rres[5])
     return jnp.stack([o.astype(i32) for o in out])
+
+
+def narrow_desc(desc: np.ndarray) -> np.ndarray:
+    """Halve a descriptor block's upload bytes when every value (in
+    particular the genome coordinates in rows 4-6) fits int32 — true for
+    any genome under 1 Gbp (seq_len = 2*l_pac < 2^31). The device kernel
+    widens the coordinate rows back to int64."""
+    if desc.dtype == np.int64 and int(desc.max(initial=0)) < 2**31 \
+            and int(desc.min(initial=0)) > -(2**31):
+        return desc.astype(np.int32)
+    return desc
 
 
 class DescTaskBuffer:
@@ -262,7 +278,7 @@ class DescTaskBuffer:
         import jax.numpy as jnp
         out = seed_extend_desc_batch(
             self.qmax, self.tmax, L_reads, dfm, reads_dev,
-            jnp.asarray(self.desc), *self._params(opt))
+            jnp.asarray(narrow_desc(self.desc)), *self._params(opt))
         try:
             out.copy_to_host_async()
         except AttributeError:

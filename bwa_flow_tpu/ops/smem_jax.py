@@ -419,17 +419,19 @@ OVF_P3 = 64        # pass-3 mem-slot cap (NP3)
 OVF_MEMS = 128     # total mems > MAXM
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 12))
 def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
                         ITERS: int, q: jnp.ndarray, qlen: jnp.ndarray,
                         min_seed_len: jnp.ndarray, split_len: jnp.ndarray,
                         split_width: jnp.ndarray, max_mem_intv: jnp.ndarray,
-                        max_occ: jnp.ndarray
+                        max_occ: jnp.ndarray, pack_H: int = 0
                         ) -> tuple[jnp.ndarray, ...]:
     """All seeding intervals for a batch of reads (mem_collect_intv,
     bwa/bwamem.c:120-168), sorted by info.
 
-    q: int32[B, L] (0..4; pad >= 4 beyond qlen); qlen int32[B].
+    q: int32 or uint8 [B, L] (0..4; pad >= 4 beyond qlen) — uint8 is the
+    production upload format (4x fewer tunnel bytes), widened here;
+    qlen int32[B].
     Returns (mems int64[B, 4, MAXM] = (k, l, s, info) rows, n_mem int32[B],
     overflow bool[B], occ_sa int64[B, MAXO], occ_total int32[B]).
 
@@ -438,6 +440,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     capped at max_occ per interval) so a typical batch needs NO separate
     SA round trip; reads whose total occurrence count exceeds MAXO are
     resolved by the caller through the probe path."""
+    q = q.astype(I32)
     B = q.shape[0]
     NB = max(MAXB, 128)  # pass-1 break budget (total across pivots);
     # mutated reads record ~35 breaks (tail ~90+), see PBUD1 note below
@@ -576,6 +579,11 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     else:
         occ_sa = jnp.zeros((B, MAXO), jnp.int64)
         occ_total = jnp.full((B,), -1, I32)   # sentinel: not resolved
+    if pack_H:
+        # fused narrow bundle: the host fetches ONE int32 array per batch
+        # (every extra program/transfer pays the tunnel's fixed RPC cost)
+        packed = _pack32(mems, n_mem, ovf, occ_sa, occ_total, pack_H)
+        return mems, n_mem, ovf, occ_sa, occ_total, packed
     return mems, n_mem, ovf, occ_sa, occ_total
 
 
@@ -587,14 +595,35 @@ def _pack_meta(n_mem, ovf, occ_total):
     return jnp.stack([n_mem.astype(I32), ovf.astype(I32), occ_total])
 
 
+def _pack32(mems, n_mem, ovf, occ_sa, occ_total, H: int):
+    """Bundle meta + the leading H mem slots + the fused SA values into
+    ONE int32 array [B, 3 + 4H + MAXO] — the whole per-batch seeding
+    result crosses the (serialized, bandwidth-starved) device tunnel as a
+    single transfer at 4 bytes/field instead of three int64 transfers.
+    Traced inline in collect_intv_device so it adds no execute RPC.
+    Valid only for genomes with seq_len < 2^31 and reads < 32768 bp
+    (start<<16|end packing); the caller guards."""
+    head = mems[:, :, :H]                     # [B, 4, H] = (k, l, s, info)
+    k32 = head[:, 0, :].astype(I32)
+    l32 = head[:, 1, :].astype(I32)
+    s32 = head[:, 2, :].astype(I32)
+    info = head[:, 3, :]
+    ie = (((info >> 32) << 16) | (info & 0xFFFF)).astype(I32)
+    meta = jnp.stack([n_mem.astype(I32), ovf.astype(I32), occ_total],
+                     axis=1)                  # [B, 3]
+    return jnp.concatenate([meta, ie, k32, l32, s32,
+                            occ_sa.astype(I32)], axis=1)
+
+
 def pad_reads(reads: list[np.ndarray], L: int
               ) -> tuple[np.ndarray, np.ndarray]:
-    """Pad reads to a [B, L] int32 batch (pad symbol 4), B a power-of-two
-    bucket so read counts share compiled programs."""
+    """Pad reads to a [B, L] uint8 batch (pad symbol 4), B a power-of-two
+    bucket so read counts share compiled programs. uint8 keeps the
+    host->device upload at 1 byte/base (the device widens on entry)."""
     B = 64
     while B < len(reads):
         B <<= 1
-    q = np.full((B, L), 4, dtype=np.int32)
+    q = np.full((B, L), 4, dtype=np.uint8)
     qlen = np.zeros(B, dtype=np.int32)
     for b, r in enumerate(reads):
         n = min(len(r), L)
@@ -644,14 +673,22 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
                   jnp.asarray(opt.max_mem_intv, I64),
                   jnp.asarray(opt.max_occ, I64))
         _OPT_CACHE[key] = params
-    mems, n_mem, ovf, occ_sa, occ_total = collect_intv_device(
-        dfm, L, MAXB, MAXM, L * iters_factor, q_dev, qlen_dev, *params)
-    return dict(
-        reads=reads, opt=opt, fm=fm, L=L, MAXM=MAXM,
-        q_dev=q_dev, mems=mems,
-        meta=_start_fetch(_pack_meta(n_mem, ovf, occ_total)),
-        occ_sa=_start_fetch(occ_sa),
-        head=_start_fetch(_mems_slice(mems, min(SEED_HEAD, MAXM))))
+    H = min(SEED_HEAD, MAXM)
+    narrow = fm.seq_len < 2**31 and L < 32768
+    out = collect_intv_device(
+        dfm, L, MAXB, MAXM, L * iters_factor, q_dev, qlen_dev, *params,
+        pack_H=H if narrow else 0)
+    h = dict(reads=reads, opt=opt, fm=fm, L=L, MAXM=MAXM,
+             q_dev=q_dev, mems=out[0])
+    if narrow:
+        # single narrow transfer for the whole seeding result
+        h["packed"] = _start_fetch(out[5])
+    else:
+        mems, n_mem, ovf, occ_sa, occ_total = out
+        h["meta"] = _start_fetch(_pack_meta(n_mem, ovf, occ_total))
+        h["occ_sa"] = _start_fetch(occ_sa)
+        h["head"] = _start_fetch(_mems_slice(mems, H))
+    return h
 
 
 def seed_collect(handle: dict, fetch=np.asarray
@@ -661,25 +698,43 @@ def seed_collect(handle: dict, fetch=np.asarray
     FPGAPipeline.cpp:706-714)."""
     opt, fm, reads = handle["opt"], handle["fm"], handle["reads"]
     L, MAXM = handle["L"], handle["MAXM"]
-    meta = fetch(handle["meta"])
-    n_mem = meta[0]
-    ovf = meta[1] != 0
-    occ_total = meta[2]
+    H = min(SEED_HEAD, MAXM)
+    packed = handle.get("packed")
+    occ_np = None
+    if packed is not None:
+        pk = fetch(packed)
+        n_mem = pk[:, 0]
+        ovf = pk[:, 1] != 0
+        occ_total = pk[:, 2]
+        occ_np = pk[:, 3 + 4 * H:]
+    else:
+        meta = fetch(handle["meta"])
+        n_mem = meta[0]
+        ovf = meta[1] != 0
+        occ_total = meta[2]
     used = int(n_mem.max()) if len(n_mem) else 0
-    if used <= min(SEED_HEAD, MAXM):
-        mems = fetch(handle["head"])
-    else:  # rare: some read used more slots than the eager head fetch
-        width = SEED_HEAD
+    mems = None
+    if used > H:  # rare: some read used more slots than the eager fetch
+        width = H
         while width < used:
             width <<= 1
         width = min(width, MAXM)
         mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
+    elif packed is None:
+        mems = fetch(handle["head"])
+    if mems is None:
+        # unpack the narrow bundle back to (k, l, s, info) rows
+        ie = pk[:, 3:3 + H].astype(np.int64)
+        k_c = pk[:, 3 + H:3 + 2 * H].astype(np.int64)
+        l_c = pk[:, 3 + 2 * H:3 + 3 * H].astype(np.int64)
+        s_c = pk[:, 3 + 3 * H:3 + 4 * H].astype(np.int64)
+        info_c = ((ie >> 16) << 32) | (ie & 0xFFFF)
+        mems = np.stack([k_c, l_c, s_c, info_c], axis=1)  # [B, 4, H]
     out = []
     # per-read fused SA values (device enumeration) or None when the read
     # must go through the probe path (redone on host / budget exceeded /
     # no dense SA)
     sa_vals: list = [None] * len(reads)
-    occ_np = None
     Intv = smem_golden.Intv
     for b, r in enumerate(reads):
         if ovf[b] or len(r) > L:

@@ -399,9 +399,10 @@ class BatchAligner:
             slots_b, desc_b = r
             desc = np.frombuffer(desc_b, np.int64).reshape(11, cap)
             with tracer.span("wave.dispatch"):
+                from ..ops.chain2aln_jax import narrow_desc
                 out = seed_extend_desc_batch(
                     qmax, tmax, self.smem_L, self.dfm, self._dev_reads,
-                    jnp.asarray(desc), *params)
+                    jnp.asarray(narrow_desc(desc)), *params)
                 try:
                     out.copy_to_host_async()
                 except AttributeError:

@@ -359,17 +359,16 @@ class AlignPipeline:
             nxt_box: dict = {}
 
             def dispatch_next():
-                # device seeds batch N+1 in sub-calls interleaved with
-                # batch N's wave rounds, so wave results wait behind at
-                # most one seed PART rather than the whole program
+                # device seeds batch N+1 AFTER batch N's waves: the
+                # tunnel serializes executions, so work enqueued between
+                # wave rounds would only delay the wave critical path —
+                # the overlap this buys is host tail vs device seeding
                 if nxt is None or not self.ba.device_ok:
                     return
                 try:
                     if "h" not in nxt_box:
                         nxt_box["h"] = self.ba.seeds_dispatch(
-                            [r.seq for r in nxt], n_parts=2)
-                    else:
-                        self.ba.seeds_step(nxt_box["h"])
+                            [r.seq for r in nxt])
                 except Exception as e:
                     self._degrade(e)
 
@@ -381,13 +380,12 @@ class AlignPipeline:
                         # packs descriptor waves, Python only moves them
                         with tracer.span("extend_waves"):
                             regs = ("packed",) + self.ba.extend_waves_packed(
-                                seqs, intvs, luts, on_started=dispatch_next)
+                                seqs, intvs, luts)
                     else:
                         with tracer.span("chain"):
                             chains = self._chains(seqs, intvs, luts)
                         with tracer.span("extend_waves"):
-                            regs = self.ba.extend_waves(
-                                seqs, chains, on_started=dispatch_next)
+                            regs = self.ba.extend_waves(seqs, chains)
                 except Exception as e:
                     self._degrade(e)
                     regs = None
