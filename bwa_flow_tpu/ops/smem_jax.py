@@ -278,34 +278,57 @@ def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
 
 
 def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
-                      mi, alive0):
-    """Phase B: every break interval walks backward simultaneously.
+                      mi, alive0, CS: int):
+    """Phase B: recorded break intervals walk backward in parallel, as a
+    lax.scan over CS-lane CHUNKS of the front-packed break queue.
 
-    Flat lanes M = one per recorded break. Returns (r int32[M] death
-    step, bst int64[M,3] state at maximal backward reach)."""
+    The queue capacity (M lanes) is sized for tail reads (~48
+    breaks/read), but a typical batch fills ~25% of it; walking the whole
+    pool would probe occ for every capacity lane on every iteration.
+    Each scan step walks one chunk until all its lanes die; chunks past
+    the packed prefix are all-dead on entry and exit after one condition
+    check, so probe volume tracks the REAL break count, not capacity.
+    scan stacks per-chunk outputs instead of carrying M-sized
+    accumulators through a loop.
+
+    Returns (r int32[M] death step, bst int64[M,3] state at maximal
+    backward reach); lanes with alive0=False report r = i_b0."""
     M = i_b0.shape[0]
-    st0 = dict(bst=bst0, i_b=i_b0, alive=alive0,
-               r=jnp.where(alive0, BIG32, i_b0), it=jnp.zeros((), I32))
+    assert M % CS == 0
+    NCH = M // CS
+    xs = (bst0.reshape(NCH, CS, 3), i_b0.reshape(NCH, CS),
+          read_id.reshape(NCH, CS), mi.reshape(NCH, CS),
+          alive0.reshape(NCH, CS))
 
-    def cond(s):
-        return (s["it"] < L + 2) & jnp.any(s["alive"])
+    def chunk(carry, x):
+        bst0c, i_b0c, rid, mi_c, alive0c = x
+        st0 = dict(bst=bst0c, i_b=i_b0c, alive=alive0c,
+                   r=jnp.where(alive0c, BIG32, i_b0c),
+                   it=jnp.zeros((), I32))
 
-    def step(s):
-        alive, i_b, bst = s["alive"], s["i_b"], s["bst"]
-        qb = q_flat[read_id * L + jnp.clip(i_b, 0, L - 1)]
-        valid_c = (i_b >= 0) & (qb < 4)
-        ok = bwt_extend_dir_batch(dfm, bst, jnp.ones(M, bool))
-        okc = _take_row(ok, jnp.clip(qb, 0, 3))
-        dead = alive & (~valid_c | (okc[:, 2] < mi))
-        walk = alive & ~dead
-        bst = jnp.where(walk[:, None], okc, bst)
-        i_b = jnp.where(walk, i_b - 1, i_b)
-        r = jnp.where(dead, i_b, s["r"])
-        return dict(bst=bst, i_b=i_b, alive=walk, r=r, it=s["it"] + 1)
+        def cond(s):
+            return (s["it"] < L + 2) & jnp.any(s["alive"])
 
-    out = jax.lax.while_loop(cond, step, st0)
-    # iteration budget blown (never for L+2 >= max walk): treat as death
-    return jnp.where(out["alive"], out["i_b"], out["r"]), out["bst"]
+        def step(s):
+            alive, i_b, bst = s["alive"], s["i_b"], s["bst"]
+            qb = q_flat[rid * L + jnp.clip(i_b, 0, L - 1)]
+            valid_c = (i_b >= 0) & (qb < 4)
+            ok = bwt_extend_dir_batch(dfm, bst, jnp.ones(CS, bool))
+            okc = _take_row(ok, jnp.clip(qb, 0, 3))
+            dead = alive & (~valid_c | (okc[:, 2] < mi_c))
+            walk = alive & ~dead
+            bst = jnp.where(walk[:, None], okc, bst)
+            i_b = jnp.where(walk, i_b - 1, i_b)
+            r = jnp.where(dead, i_b, s["r"])
+            return dict(bst=bst, i_b=i_b, alive=walk, r=r, it=s["it"] + 1)
+
+        out = jax.lax.while_loop(cond, step, st0)
+        # iteration budget blown (never for L+2 >= max walk): as death
+        return carry, (jnp.where(out["alive"], out["i_b"], out["r"]),
+                       out["bst"])
+
+    _, (r, bst) = jax.lax.scan(chunk, jnp.zeros((), I32), xs)
+    return r.reshape(M), bst.reshape(M, 3)
 
 
 def _cohort_emit(r, brk_g, valid, NB: int):
@@ -355,14 +378,15 @@ def _compact(vflat, budget: int):
 
 def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
                read_id, qlen_l, mi, min_seed_len, st0, task_mode: bool,
-               PBUD: int, q2=None, qlen2=None):
+               PBUD: int, CS: int, q2=None, qlen2=None):
     """One full SMEM pass: forward scan + parallel backward + emission.
 
     The backward walk runs over a batch-global pool of PBUD lanes packed
     from the valid break slots (typical reads record ~12 breaks of an
     NB-slot budget; walking the raw [NL*NB] grid would spend ~5x the
-    occ-probe bandwidth on dead lanes). Reads whose breaks do not fit
-    the pool overflow to the host redo path.
+    occ-probe bandwidth on dead lanes), windowed in CS-lane chunks so
+    probe volume tracks the real break count. Reads whose breaks do not
+    fit the pool overflow to the host redo path.
 
     Returns (mems [NL,4,NB] dense-front in bwa emission order,
     n1 int32[NL], ovf bool[NL])."""
@@ -381,7 +405,7 @@ def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
     rid_b = read_id[lane_nl]
     mi_b = mi[lane_nl]
     r_l, bst_l = _bwd_walk_machine(dfm, L, q_flat, rid_b, bst0, i_b0,
-                                   mi_b, lane_ok)
+                                   mi_b, lane_ok, CS)
     # scatter-back = gather through dst (index PBUD -> sentinel row)
     r_pad = jnp.concatenate([r_l, jnp.full((1,), BIG32, I32)])
     bst_pad = jnp.concatenate([bst_l, jnp.zeros((1, 3), I64)])
@@ -449,9 +473,10 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # a forward walk records ~log4(genome) breaks per pivot (distinct-s
     # steps) and mutated reads carry several pivots: ~35 breaks/151 bp
     # read at 1% SNPs on a 2 Mbp genome (tail ~90)
-    PBUD1 = 48 * B             # pass-1 backward-pool lanes
+    PBUD1 = 48 * B             # pass-1 backward-pool lanes (capacity)
     TBUD = 2 * B               # task pool (mean ~1 re-seed task/read)
-    PBUD2 = 32 * B             # pass-2 backward-pool lanes
+    PBUD2 = 32 * B             # pass-2 backward-pool lanes (capacity)
+    CS = min(2 * B, 16384)     # backward-walk window (cost ~ real breaks)
     q_flat = q.reshape(-1)
     rid = jnp.arange(B, dtype=I32)
 
@@ -470,7 +495,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # pass 1: pivot-scan forward machine + parallel backward, min_intv=1
     mems1, n1, ovf_f1, ovf_p1 = _smem_pass(
         dfm, L, NB, ITERS, q_flat, rid, qlen, jnp.ones(B, I64),
-        min_seed_len, fresh(B, NB), task_mode=False, PBUD=PBUD1,
+        min_seed_len, fresh(B, NB), task_mode=False, PBUD=PBUD1, CS=CS,
         q2=q, qlen2=qlen)
     # ovf is an int32 bitmask of budget-exhaustion sources (diagnosable
     # in production; any nonzero bit routes the read to the host redo)
@@ -499,7 +524,8 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     mems2l, n2l, ovf2f, ovf2p = _smem_pass(dfm, L, NB2, ITERS, q_flat,
                                            rid2, qlen[rid2], tmi,
                                            min_seed_len, st2,
-                                           task_mode=True, PBUD=PBUD2)
+                                           task_mode=True, PBUD=PBUD2,
+                                           CS=CS)
     ovf2l = (ovf2f.astype(I32) * OVF_P2_FWD
              + ovf2p.astype(I32) * OVF_P2_POOL)
     ovf = ovf | jnp.zeros(B, I32).at[rid2].max(
