@@ -127,9 +127,58 @@ def _scatter1(arr, idx, val, do):
     return jnp.where(sel, val[:, None], arr)
 
 
+def _p3_pre(dfm: DeviceFM, L: int, q, jl, valid_base, s):
+    """Pass-3 mode-0: acquire the next pivot (bwt_seed_strategy1 scan)."""
+    mode = s["mode"]
+    m0 = mode == 0
+    ok_piv = (jl >= s["x"][:, None]) & valid_base
+    cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
+    found = cand < BIG32
+    x = jnp.where(m0 & found, cand, s["x"])
+    qx = _take1(q, jnp.clip(x, 0, L - 1))
+    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
+    start = m0 & found
+    mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
+    return dict(s, mode=mode, x=x,
+                ik=jnp.where(start[:, None], init_ik, s["ik"]),
+                i=jnp.where(start, x + 1, s["i"]))
+
+
+def _p3_post(c: _MachineConsts, q, qlen, min_seed_len, max_mem_intv,
+             s, ok):
+    """Pass-3 step after the shared occ probe (ok = bwt_extend rows)."""
+    mode, x, i, ik = s["mode"], s["x"], s["i"], s["ik"]
+    m1 = mode == 1
+    ended = m1 & (i >= qlen)          # loop exhausted: jump to len
+    q_i = _take1(q, jnp.clip(i, 0, c.L - 1))
+    amb = m1 & ~ended & (q_i > 3)     # N base: jump to i+1, no seed
+    live = m1 & ~ended & ~amb
+    cf = jnp.clip(3 - q_i, 0, 3)
+    okc = _take_row(ok, cf)
+    hit = live & (okc[:, 2] < max_mem_intv) & ((i - x) >= min_seed_len)
+    emit = hit & (okc[:, 2] > 0)
+    info = ((x.astype(I64) << 32) | (i + 1).astype(I64))
+    new_mem = jnp.concatenate([okc, info[:, None]], axis=1)
+    mem_ovf = emit & (s["n_mem"] >= c.MAXM)
+    mems2 = _scatter_slot(s["mems"], s["n_mem"], new_mem,
+                          emit & ~mem_ovf)
+    n_mem = jnp.where(emit & ~mem_ovf, s["n_mem"] + 1, s["n_mem"])
+
+    walk = live & ~hit
+    ik = jnp.where(walk[:, None], okc, ik)
+    i2 = jnp.where(walk, i + 1, i)
+    # pivot jumps
+    x = jnp.where(ended, qlen, jnp.where(amb | hit, i + 1, x))
+    mode = jnp.where(ended | amb | hit, 0, mode)
+    return dict(s, mode=mode, x=x, i=i2, ik=ik, mems=mems2, n_mem=n_mem,
+                ovf=s["ovf"] | mem_ovf, it=s["it"] + 1)
+
+
 def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
                    min_seed_len, max_mem_intv, mems, n_mem, ovf):
-    """LAST-like third pass (bwt_seed_strategy1, bwa/bwt.c:358-379)."""
+    """LAST-like third pass (bwt_seed_strategy1, bwa/bwt.c:358-379).
+    Standalone variant; collect_intv_device runs it fused with pass 1's
+    forward scan (_p1p3_machine) to share iteration barriers."""
     B = q.shape[0]
     jl = jnp.arange(c.L, dtype=I32)[None, :]
     valid_base = (jl < qlen[:, None]) & (q < 4)  # loop-invariant
@@ -142,44 +191,10 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
         return (s["it"] < c.ITERS) & jnp.any(s["mode"] != 3)
 
     def step(s):
-        mode = s["mode"]
-        m0 = mode == 0
-        ok_piv = (jl >= s["x"][:, None]) & valid_base
-        cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
-        found = cand < BIG32
-        x = jnp.where(m0 & found, cand, s["x"])
-        qx = _take1(q, jnp.clip(x, 0, c.L - 1))
-        init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
-        start = m0 & found
-        mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
-        ik = jnp.where(start[:, None], init_ik, s["ik"])
-        i = jnp.where(start, x + 1, s["i"])
-
-        m1 = mode == 1
-        ended = m1 & (i >= qlen)          # loop exhausted: jump to len
-        q_i = _take1(q, jnp.clip(i, 0, c.L - 1))
-        amb = m1 & ~ended & (q_i > 3)     # N base: jump to i+1, no seed
-        live = m1 & ~ended & ~amb
-        ok = bwt_extend_dir_batch(dfm, ik, jnp.zeros(ik.shape[0], bool))
-        cf = jnp.clip(3 - q_i, 0, 3)
-        okc = _take_row(ok, cf)
-        hit = live & (okc[:, 2] < max_mem_intv) & ((i - x) >= min_seed_len)
-        emit = hit & (okc[:, 2] > 0)
-        info = ((x.astype(I64) << 32) | (i + 1).astype(I64))
-        new_mem = jnp.concatenate([okc, info[:, None]], axis=1)
-        mem_ovf = emit & (s["n_mem"] >= c.MAXM)
-        mems2 = _scatter_slot(s["mems"], s["n_mem"], new_mem,
-                             emit & ~mem_ovf)
-        n_mem = jnp.where(emit & ~mem_ovf, s["n_mem"] + 1, s["n_mem"])
-
-        walk = live & ~hit
-        ik = jnp.where(walk[:, None], okc, ik)
-        i2 = jnp.where(walk, i + 1, i)
-        # pivot jumps
-        x = jnp.where(ended, qlen, jnp.where(amb | hit, i + 1, x))
-        mode = jnp.where(ended | amb | hit, 0, mode)
-        return dict(mode=mode, x=x, i=i2, ik=ik, mems=mems2, n_mem=n_mem,
-                    ovf=s["ovf"] | mem_ovf, it=s["it"] + 1)
+        s = _p3_pre(dfm, c.L, q, jl, valid_base, s)
+        ok = bwt_extend_dir_batch(dfm, s["ik"],
+                                  jnp.zeros(s["ik"].shape[0], bool))
+        return _p3_post(c, q, qlen, min_seed_len, max_mem_intv, s, ok)
 
     out = jax.lax.while_loop(cond, step, st0)
     return out["mems"], out["n_mem"], out["ovf"] | (out["mode"] != 3)
@@ -196,6 +211,65 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
 # re-seed tasks are independent, so its forward walks also run in parallel
 # (one lane per (read, task)). Same emission semantics, ~4x fewer
 # all-lane-barrier iterations and no [B,4,MAXM] rewrite inside any loop.
+
+
+def _fwd_pre(dfm: DeviceFM, L: int, q_flat, read_id, jl, valid_base, s):
+    """Pass-1 mode-0: acquire the next pivot (bwa jump rule)."""
+    mode, x = s["mode"], s["x"]
+    m0 = mode == 0
+    ok_piv = (jl >= x[:, None]) & valid_base
+    cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
+    found = cand < BIG32
+    start = m0 & found
+    x = jnp.where(start, cand, x)
+    qx = q_flat[read_id * L + jnp.clip(x, 0, L - 1)]
+    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
+    mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
+    return dict(s, mode=mode, x=x,
+                ik=jnp.where(start[:, None], init_ik, s["ik"]),
+                ik_info=jnp.where(start, x + 1, s["ik_info"]),
+                i=jnp.where(start, x + 1, s["i"]),
+                g=jnp.where(start, s["g"] + 1, s["g"]))
+
+
+def _fwd_post(L: int, NB: int, q_flat, read_id, qlen_l, mi,
+              task_mode: bool, s, ok):
+    """Forward-scan step after the shared occ probe."""
+    mode, x, i, ik, ik_info, g, nb = (s["mode"], s["x"], s["i"], s["ik"],
+                                      s["ik_info"], s["g"], s["nb"])
+    m1 = mode == 1
+    q_i = q_flat[read_id * L + jnp.clip(i, 0, L - 1)]
+    end_now = m1 & ((i >= qlen_l) | (q_i > 3))
+    cf = jnp.clip(3 - q_i, 0, 3)
+    okc = _take_row(ok, cf)
+    changed = okc[:, 2] != ik[:, 2]
+    die = changed & (okc[:, 2] < mi)
+    push = m1 & (end_now | changed)
+    to_next = m1 & (end_now | die)
+    adv = m1 & ~to_next
+
+    nb_ovf = push & (nb >= NB)
+    do = push & ~nb_ovf
+    brk_kls = _scatter_slot(s["brk_kls"], nb, ik, do)
+    brk_end = _scatter1(s["brk_end"], nb, ik_info, do)
+    brk_x = _scatter1(s["brk_x"], nb, x, do)
+    brk_g = _scatter1(s["brk_g"], nb, g, do)
+    nb = jnp.where(do, nb + 1, nb)
+
+    ik = jnp.where(adv[:, None], okc, ik)
+    ik_info = jnp.where(adv, i + 1, ik_info)
+    i = jnp.where(adv, i + 1, i)
+    if task_mode:
+        mode = jnp.where(to_next, 3, mode)
+    else:
+        # next pivot = end of longest match (= last push's end)
+        x = jnp.where(to_next, ik_info, x)
+        mode = jnp.where(to_next, 0, mode)
+    ovf = s["ovf"] | nb_ovf
+    mode = jnp.where(nb_ovf, 3, mode)
+    return dict(s, mode=mode, x=x, i=i, ik=ik, ik_info=ik_info, g=g,
+                nb=nb, brk_kls=brk_kls, brk_end=brk_end, brk_x=brk_x,
+                brk_g=brk_g, ovf=ovf, it=s["it"] + 1)
 
 
 def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
@@ -217,64 +291,52 @@ def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
         return (s["it"] < ITERS) & jnp.any(s["mode"] != 3)
 
     def step(s):
-        mode = s["mode"]
-        x, i, ik, ik_info, g, nb = (s["x"], s["i"], s["ik"], s["ik_info"],
-                                    s["g"], s["nb"])
         if not task_mode:
-            # -------- mode 0: acquire next pivot (bwa jump rule) --------
-            m0 = mode == 0
-            ok_piv = (jl >= x[:, None]) & valid_base
-            cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
-            found = cand < BIG32
-            start = m0 & found
-            x = jnp.where(start, cand, x)
-            qx = q_flat[read_id * L + jnp.clip(x, 0, L - 1)]
-            init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
-            mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
-            ik = jnp.where(start[:, None], init_ik, ik)
-            ik_info = jnp.where(start, x + 1, ik_info)
-            i = jnp.where(start, x + 1, i)
-            g = jnp.where(start, g + 1, g)
-
-        # -------- mode 1: one forward step --------
-        m1 = mode == 1
-        q_i = q_flat[read_id * L + jnp.clip(i, 0, L - 1)]
-        end_now = m1 & ((i >= qlen_l) | (q_i > 3))
-        cf = jnp.clip(3 - q_i, 0, 3)
-        ok = bwt_extend_dir_batch(dfm, ik, jnp.zeros(NL, bool))
-        okc = _take_row(ok, cf)
-        changed = okc[:, 2] != ik[:, 2]
-        die = changed & (okc[:, 2] < mi)
-        push = m1 & (end_now | changed)
-        to_next = m1 & (end_now | die)
-        adv = m1 & ~to_next
-
-        nb_ovf = push & (nb >= NB)
-        do = push & ~nb_ovf
-        brk_kls = _scatter_slot(s["brk_kls"], nb, ik, do)
-        brk_end = _scatter1(s["brk_end"], nb, ik_info, do)
-        brk_x = _scatter1(s["brk_x"], nb, x, do)
-        brk_g = _scatter1(s["brk_g"], nb, g, do)
-        nb = jnp.where(do, nb + 1, nb)
-
-        ik = jnp.where(adv[:, None], okc, ik)
-        ik_info = jnp.where(adv, i + 1, ik_info)
-        i = jnp.where(adv, i + 1, i)
-        if task_mode:
-            mode = jnp.where(to_next, 3, mode)
-        else:
-            # next pivot = end of longest match (= last push's end)
-            x = jnp.where(to_next, ik_info, x)
-            mode = jnp.where(to_next, 0, mode)
-        ovf = s["ovf"] | nb_ovf
-        mode = jnp.where(nb_ovf, 3, mode)
-        return dict(mode=mode, x=x, i=i, ik=ik, ik_info=ik_info, g=g,
-                    nb=nb, brk_kls=brk_kls, brk_end=brk_end, brk_x=brk_x,
-                    brk_g=brk_g, ovf=ovf, it=s["it"] + 1)
+            s = _fwd_pre(dfm, L, q_flat, read_id, jl, valid_base, s)
+        ok = bwt_extend_dir_batch(dfm, s["ik"], jnp.zeros(NL, bool))
+        return _fwd_post(L, NB, q_flat, read_id, qlen_l, mi, task_mode,
+                         s, ok)
 
     out = jax.lax.while_loop(cond, step, st0)
     out["ovf"] = out["ovf"] | (out["mode"] != 3)
     return out
+
+
+def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
+                  read_id, qlen_l, st1, q2, qlen2, c3: _MachineConsts,
+                  min_seed_len, max_mem_intv, st3):
+    """Pass 1's forward scan and pass 3, fused into ONE while loop.
+
+    Both machines are serial per-read scans of ~qlen iterations whose
+    per-iteration cost is dominated by the shared batched bwt_extend;
+    concatenating their lanes (2B) into a single probe per iteration
+    runs pass 3 for free inside pass 1's barrier count instead of
+    paying a second ~qlen-iteration loop."""
+    B = st1["mode"].shape[0]
+    jl = jnp.arange(L, dtype=I32)[None, :]
+    valid_base = (jl < qlen2[:, None]) & (q2 < 4)
+    mi1 = jnp.ones(B, I64)            # pass-1 min_intv
+
+    def cond(s):
+        return (s["it"] < ITERS) & (jnp.any(s["p1"]["mode"] != 3)
+                                    | jnp.any(s["p3"]["mode"] != 3))
+
+    def step(s):
+        s1 = _fwd_pre(dfm, L, q_flat, read_id, jl, valid_base, s["p1"])
+        s3 = _p3_pre(dfm, c3.L, q2, jl, valid_base, s["p3"])
+        ik_all = jnp.concatenate([s1["ik"], s3["ik"]], axis=0)
+        ok = bwt_extend_dir_batch(dfm, ik_all, jnp.zeros(2 * B, bool))
+        s1 = _fwd_post(L, NB, q_flat, read_id, qlen_l, mi1, False,
+                       s1, ok[:B])
+        s3 = _p3_post(c3, q2, qlen2, min_seed_len, max_mem_intv,
+                      s3, ok[B:])
+        return dict(p1=s1, p3=s3, it=s["it"] + 1)
+
+    out = jax.lax.while_loop(
+        cond, step, dict(p1=st1, p3=st3, it=jnp.zeros((), I32)))
+    s1, s3 = out["p1"], out["p3"]
+    s1["ovf"] = s1["ovf"] | (s1["mode"] != 3)
+    return s1, (s3["mems"], s3["n_mem"], s3["ovf"] | (s3["mode"] != 3))
 
 
 def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
@@ -376,10 +438,9 @@ def _compact(vflat, budget: int):
     return src, dst, lane_ok, dropped
 
 
-def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
-               read_id, qlen_l, mi, min_seed_len, st0, task_mode: bool,
-               PBUD: int, CS: int, q2=None, qlen2=None):
-    """One full SMEM pass: forward scan + parallel backward + emission.
+def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
+                    mi, min_seed_len, s, PBUD: int, CS: int):
+    """Backward walks + cohort emission for a finished forward scan.
 
     The backward walk runs over a batch-global pool of PBUD lanes packed
     from the valid break slots (typical reads record ~12 breaks of an
@@ -390,9 +451,7 @@ def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
 
     Returns (mems [NL,4,NB] dense-front in bwa emission order,
     n1 int32[NL], ovf bool[NL])."""
-    NL = st0["mode"].shape[0]
-    s = _fwd_scan_machine(dfm, L, NB, ITERS, q_flat, read_id, qlen_l, mi,
-                          st0, task_mode, q2=q2, qlen2=qlen2)
+    NL = s["mode"].shape[0]
     nb, brk_g = s["nb"], s["brk_g"]
     slot = jnp.arange(NB, dtype=I32)[None, :]
     valid = slot < nb[:, None]
@@ -427,6 +486,16 @@ def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
     mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)
     n1 = emit.sum(axis=1).astype(I32)
     return mems, n1, s["ovf"], ovf_pool
+
+
+def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
+               read_id, qlen_l, mi, min_seed_len, st0, task_mode: bool,
+               PBUD: int, CS: int, q2=None, qlen2=None):
+    """One full SMEM pass: forward scan + parallel backward + emission."""
+    s = _fwd_scan_machine(dfm, L, NB, ITERS, q_flat, read_id, qlen_l, mi,
+                          st0, task_mode, q2=q2, qlen2=qlen2)
+    return _smem_pass_post(dfm, L, NB, q_flat, read_id, mi, min_seed_len,
+                           s, PBUD, CS)
 
 
 MAXO = 64  # per-read SA-occurrence budget for the fused seed+SA output
@@ -492,11 +561,20 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
             brk_g=jnp.zeros((NL, NBc), I32),
             ovf=jnp.zeros(NL, bool), it=jnp.zeros((), I32))
 
-    # pass 1: pivot-scan forward machine + parallel backward, min_intv=1
-    mems1, n1, ovf_f1, ovf_p1 = _smem_pass(
-        dfm, L, NB, ITERS, q_flat, rid, qlen, jnp.ones(B, I64),
-        min_seed_len, fresh(B, NB), task_mode=False, PBUD=PBUD1, CS=CS,
-        q2=q, qlen2=qlen)
+    # pass 1's forward scan runs FUSED with pass 3 (both are serial
+    # ~qlen-iteration per-read scans; one shared probe per iteration),
+    # then pass 1's backward walks + emission
+    c3 = _MachineConsts(L, MAXB, NP3, ITERS)
+    st3 = dict(mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
+               i=jnp.zeros(B, I32), ik=jnp.zeros((B, 3), I64),
+               mems=jnp.zeros((B, 4, NP3), I64), n_mem=jnp.zeros(B, I32),
+               ovf=jnp.zeros(B, bool), it=jnp.zeros((), I32))
+    s1, (mems3, n3, ovf3) = _p1p3_machine(
+        dfm, L, NB, ITERS, q_flat, rid, qlen, fresh(B, NB), q, qlen,
+        c3, min_seed_len, max_mem_intv, st3)
+    mems1, n1, ovf_f1, ovf_p1 = _smem_pass_post(
+        dfm, L, NB, q_flat, rid, jnp.ones(B, I64), min_seed_len, s1,
+        PBUD1, CS)
     # ovf is an int32 bitmask of budget-exhaustion sources (diagnosable
     # in production; any nonzero bit routes the read to the host redo)
     ovf = ovf_f1.astype(I32) * OVF_P1_FWD + ovf_p1.astype(I32) * OVF_P1_POOL
@@ -550,13 +628,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
         ent2, mode="drop").reshape(B, M2, 4).transpose(0, 2, 1)
     n2 = jnp.minimum(cnt2, M2)
 
-    # pass 3: LAST-like forward-only seeding (skipped if max_mem_intv <= 0)
-    c3 = _MachineConsts(L, MAXB, NP3, ITERS)
-    mems3, n3, ovf3 = _pass3_machine(dfm, c3, q, qlen, min_seed_len,
-                                     max_mem_intv,
-                                     jnp.zeros((B, 4, NP3), I64),
-                                     jnp.zeros(B, I32),
-                                     jnp.zeros(B, bool))
+    # pass 3 ran fused with pass 1 above (skipped if max_mem_intv <= 0)
     use3 = max_mem_intv > 0
     n3 = jnp.where(use3, n3, 0)
     ovf = ovf | (use3 & ovf3).astype(I32) * OVF_P3
