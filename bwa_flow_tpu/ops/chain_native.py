@@ -32,7 +32,25 @@ def sa_probe_layout(opt: MemOpt, all_intvs, build_owners: bool = True
     (rows int64[NO] of interval coordinates x0+k, off int64[n+1] per-read
     boundaries, owners [(read, x0, k)] for the dict-based Python path).
     owners is skipped (None) when the native chain stage serves — its
-    construction is the costly part of this pure-Python loop."""
+    construction is the costly part of this pure-Python loop.
+
+    Array-native IntvBatch inputs take a fully vectorized path."""
+    from .smem import IntvBatch
+    if isinstance(all_intvs, IntvBatch) and not build_owners:
+        sv, x0, iv_off = all_intvs.sv, all_intvs.x0, all_intvs.iv_off
+        mo = np.int64(opt.max_occ)
+        over = sv > mo
+        step = np.where(over, sv // np.maximum(mo, 1), 1)
+        cnt = np.where(over, np.minimum(sv, step * mo)
+                       // np.maximum(step, 1), sv)
+        tot = np.zeros(len(sv) + 1, np.int64)
+        np.cumsum(cnt, out=tot[1:])
+        NO = int(tot[-1])
+        # rows[j] = x0_i + (j - tot[i]) * step_i for j in intv i's range
+        j = np.arange(NO, dtype=np.int64)
+        i_of = np.repeat(np.arange(len(sv), dtype=np.int64), cnt)
+        rows_v = x0[i_of] + (j - tot[i_of]) * step[i_of]
+        return rows_v, tot[iv_off], None
     rows: list[int] = []
     owners: list[tuple[int, int, int]] | None =         [] if build_owners else None
     max_occ = opt.max_occ
@@ -57,6 +75,33 @@ def owners_for(opt: MemOpt, all_intvs) -> list:
     return sa_probe_layout(opt, all_intvs, build_owners=True)[2]
 
 
+def intv_arrays(all_intvs) -> tuple[np.ndarray, ...]:
+    """(iv_off, x0, sv, st, en) flat arrays for a batch of intervals —
+    pass-through for IntvBatch, packing loop for Intv lists."""
+    from .smem import IntvBatch
+    if isinstance(all_intvs, IntvBatch):
+        b = all_intvs
+        return b.iv_off, b.x0, b.sv, b.st, b.en
+    n = len(all_intvs)
+    NI = sum(len(iv) for iv in all_intvs)
+    iv_off = np.zeros(n + 1, np.int64)
+    x0 = np.empty(NI, np.int64)
+    sv = np.empty(NI, np.int64)
+    st = np.empty(NI, np.int32)
+    en = np.empty(NI, np.int32)
+    i = 0
+    for r, intvs in enumerate(all_intvs):
+        for p in intvs:
+            x0[i] = p.x0
+            sv[i] = p.s
+            info = p.info
+            st[i] = info >> 32
+            en[i] = info & 0xFFFFFFFF
+            i += 1
+        iv_off[r + 1] = i
+    return iv_off, x0, sv, st, en
+
+
 def ann_arrays(fm: FMIndex):
     """Cached (contig offsets int64, is_alt uint8) for an index."""
     key = id(fm)
@@ -77,22 +122,7 @@ def chain_batch(opt: MemOpt, fm: FMIndex, seqs, all_intvs,
     assert _ext is not None
     n = len(seqs)
     l_query = np.fromiter((len(s) for s in seqs), np.int32, n)
-    NI = sum(len(iv) for iv in all_intvs)
-    iv_off = np.zeros(n + 1, np.int64)
-    x0 = np.empty(NI, np.int64)
-    sv = np.empty(NI, np.int64)
-    st = np.empty(NI, np.int32)
-    en = np.empty(NI, np.int32)
-    i = 0
-    for r, intvs in enumerate(all_intvs):
-        for p in intvs:
-            x0[i] = p.x0
-            sv[i] = p.s
-            info = p.info
-            st[i] = info >> 32
-            en[i] = info & 0xFFFFFFFF
-            i += 1
-        iv_off[r + 1] = i
+    iv_off, x0, sv, st, en = intv_arrays(all_intvs)
     bns = fm.bns
     anns = bns.anns
     ann_off, ann_alt = ann_arrays(fm)

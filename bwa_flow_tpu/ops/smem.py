@@ -38,6 +38,61 @@ class Intv:
         return self.info & 0xFFFFFFFF
 
 
+class IntvBatch:
+    """Array-native interval batch — the production interface between the
+    device seeding machine and the native chain/wave stages.
+
+    Per-read Intv OBJECTS cost ~125 ms of Python per 8k-read batch to
+    build and get immediately re-packed into flat arrays by the native
+    consumers (chain_batch/create_driver); this type carries those flat
+    arrays directly. iv_off int64[n+1] bounds read r's intervals at
+    [iv_off[r], iv_off[r+1]); columns x0/x1/sv int64[NI], st/en int32[NI]
+    mirror bwtintv_t (bwa/bwt.h:60-63). Indexing materializes Intv lists
+    for the Python fallback paths."""
+
+    __slots__ = ("iv_off", "x0", "x1", "sv", "st", "en")
+
+    def __init__(self, iv_off, x0, x1, sv, st, en):
+        self.iv_off, self.x0, self.x1 = iv_off, x0, x1
+        self.sv, self.st, self.en = sv, st, en
+
+    def __len__(self) -> int:
+        return len(self.iv_off) - 1
+
+    def __getitem__(self, r: int) -> list[Intv]:
+        lo, hi = int(self.iv_off[r]), int(self.iv_off[r + 1])
+        info = (self.st[lo:hi].astype(np.int64) << 32) \
+            | self.en[lo:hi].astype(np.int64)
+        return [Intv(int(k), int(l), int(s), int(i)) for k, l, s, i in
+                zip(self.x0[lo:hi], self.x1[lo:hi], self.sv[lo:hi], info)]
+
+    def lists(self) -> list[list[Intv]]:
+        return [self[r] for r in range(len(self))]
+
+    @classmethod
+    def from_lists(cls, all_intvs: list[list[Intv]]) -> "IntvBatch":
+        n = len(all_intvs)
+        iv_off = np.zeros(n + 1, np.int64)
+        for r, iv in enumerate(all_intvs):
+            iv_off[r + 1] = iv_off[r] + len(iv)
+        NI = int(iv_off[-1])
+        x0 = np.empty(NI, np.int64)
+        x1 = np.empty(NI, np.int64)
+        sv = np.empty(NI, np.int64)
+        st = np.empty(NI, np.int32)
+        en = np.empty(NI, np.int32)
+        i = 0
+        for iv in all_intvs:
+            for p in iv:
+                x0[i] = p.x0
+                x1[i] = p.x1
+                sv[i] = p.s
+                st[i] = p.info >> 32
+                en[i] = p.info & 0xFFFFFFFF
+                i += 1
+        return cls(iv_off, x0, x1, sv, st, en)
+
+
 def smem1a(fm: FMIndex, q: np.ndarray, x: int, min_intv: int,
            max_intv: int = 0) -> tuple[int, list[Intv]]:
     """SMEMs covering position x. Returns (end-of-longest-match, mems)."""

@@ -789,16 +789,19 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
     return h
 
 
-def seed_collect(handle: dict, fetch=np.asarray
-                 ) -> list[list[smem_golden.Intv]]:
-    """Finish a seed_dispatch: unpack Intv lists; overflowed reads are
-    redone with the golden implementation (reference redo pattern,
-    FPGAPipeline.cpp:706-714)."""
+def seed_collect_batch(handle: dict, fetch=np.asarray
+                       ) -> smem_golden.IntvBatch:
+    """Finish a seed_dispatch as an ARRAY-NATIVE IntvBatch (no per-Intv
+    Python objects; the native chain/wave stages consume the flat arrays
+    directly). Overflowed reads are redone with the golden implementation
+    (reference redo pattern, FPGAPipeline.cpp:706-714) and spliced in."""
     opt, fm, reads = handle["opt"], handle["fm"], handle["reads"]
     L, MAXM = handle["L"], handle["MAXM"]
+    n = len(reads)
     H = min(SEED_HEAD, MAXM)
     packed = handle.get("packed")
     occ_np = None
+    k_c = None
     if packed is not None:
         pk = fetch(packed)
         n_mem = pk[:, 0]
@@ -811,42 +814,76 @@ def seed_collect(handle: dict, fetch=np.asarray
         ovf = meta[1] != 0
         occ_total = meta[2]
     used = int(n_mem.max()) if len(n_mem) else 0
-    mems = None
     if used > H:  # rare: some read used more slots than the eager fetch
         width = H
         while width < used:
             width <<= 1
         width = min(width, MAXM)
         mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
+        k_c, l_c, s_c = mems[:, 0, :], mems[:, 1, :], mems[:, 2, :]
+        st_c = (mems[:, 3, :] >> 32).astype(np.int32)
+        en_c = (mems[:, 3, :] & 0xFFFFFFFF).astype(np.int32)
     elif packed is None:
         mems = fetch(handle["head"])
-    if mems is None:
-        # unpack the narrow bundle back to (k, l, s, info) rows
-        ie = pk[:, 3:3 + H].astype(np.int64)
+        k_c, l_c, s_c = mems[:, 0, :], mems[:, 1, :], mems[:, 2, :]
+        st_c = (mems[:, 3, :] >> 32).astype(np.int32)
+        en_c = (mems[:, 3, :] & 0xFFFFFFFF).astype(np.int32)
+    else:
+        W = H
+        ie = pk[:, 3:3 + H]
         k_c = pk[:, 3 + H:3 + 2 * H].astype(np.int64)
         l_c = pk[:, 3 + 2 * H:3 + 3 * H].astype(np.int64)
         s_c = pk[:, 3 + 3 * H:3 + 4 * H].astype(np.int64)
-        info_c = ((ie >> 16) << 32) | (ie & 0xFFFF)
-        mems = np.stack([k_c, l_c, s_c, info_c], axis=1)  # [B, 4, H]
-    out = []
+        st_c = (ie >> 16).astype(np.int32)
+        en_c = (ie & 0xFFFF).astype(np.int32)
+    W = k_c.shape[1]
+    counts = np.minimum(n_mem[:n].astype(np.int64), W)
+    redo = np.fromiter(
+        (bool(ovf[b]) or len(reads[b]) > L for b in range(n)), bool, n)
+    counts = np.where(redo, 0, counts)
+    valid = (np.arange(W)[None, :] < counts[:, None])
+    m = valid.ravel()
+    k_c, l_c, s_c, st_c, en_c = (c[:n].ravel()[m]
+                                 for c in (k_c, l_c, s_c, st_c, en_c))
+    iv_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=iv_off[1:])
+    batch = smem_golden.IntvBatch(iv_off, k_c.astype(np.int64),
+                                  l_c.astype(np.int64),
+                                  s_c.astype(np.int64), st_c, en_c)
     # per-read fused SA values (device enumeration) or None when the read
     # must go through the probe path (redone on host / budget exceeded /
     # no dense SA)
-    sa_vals: list = [None] * len(reads)
-    Intv = smem_golden.Intv
-    for b, r in enumerate(reads):
-        if ovf[b] or len(r) > L:
-            out.append(smem_golden.collect_intv(opt, fm, r))
-            continue
-        rows = mems[b, :, :n_mem[b]].T.tolist()  # one bulk conversion
-        out.append([Intv(k, l, s, info) for k, l, s, info in rows])
+    sa_vals: list = [None] * n
+    for b in np.nonzero(~redo)[0]:
         t = int(occ_total[b])
         if 0 <= t <= MAXO:
             if occ_np is None:
                 occ_np = fetch(handle["occ_sa"])
             sa_vals[b] = occ_np[b, :t]
     handle["sa_vals"] = sa_vals
-    return out
+    if redo.any():
+        # splice golden-redo reads in (rare: budget overflow / long reads)
+        lists = {int(b): smem_golden.collect_intv(opt, fm, reads[b])
+                 for b in np.nonzero(redo)[0]}
+        seg = {name: np.split(getattr(batch, name), batch.iv_off[1:-1])
+               for name in ("x0", "x1", "sv", "st", "en")}
+        for b, iv in lists.items():
+            rb = smem_golden.IntvBatch.from_lists([iv])
+            for name in seg:
+                seg[name][b] = getattr(rb, name)
+            counts[b] = len(iv)
+        np.cumsum(counts, out=iv_off[1:])
+        batch = smem_golden.IntvBatch(
+            iv_off, *(np.concatenate(seg[name]) if n else seg[name]
+                      for name in ("x0", "x1", "sv", "st", "en")))
+    return batch
+
+
+def seed_collect(handle: dict, fetch=np.asarray
+                 ) -> list[list[smem_golden.Intv]]:
+    """Finish a seed_dispatch as per-read Intv lists (Python-object view
+    of seed_collect_batch, kept for the fallback/golden paths)."""
+    return seed_collect_batch(handle, fetch).lists()
 
 
 def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,

@@ -49,22 +49,7 @@ def create_driver(opt: MemOpt, fm: FMIndex, seqs, all_intvs, sa_flat,
     vals, off, _ = sa_flat
     n = len(seqs)
     l_query = np.fromiter((len(s) for s in seqs), np.int32, n)
-    NI = sum(len(iv) for iv in all_intvs)
-    iv_off = np.zeros(n + 1, np.int64)
-    x0 = np.empty(NI, np.int64)
-    sv = np.empty(NI, np.int64)
-    st = np.empty(NI, np.int32)
-    en = np.empty(NI, np.int32)
-    i = 0
-    for r, intvs in enumerate(all_intvs):
-        for p in intvs:
-            x0[i] = p.x0
-            sv[i] = p.s
-            info = p.info
-            st[i] = info >> 32
-            en[i] = info & 0xFFFFFFFF
-            i += 1
-        iv_off[r + 1] = i
+    iv_off, x0, sv, st, en = chain_native.intv_arrays(all_intvs)
     ann_off, pac = _bns_arrays(fm)
     ann_off_c, ann_alt = chain_native.ann_arrays(fm)
     from .. import _chain as _chain_ext

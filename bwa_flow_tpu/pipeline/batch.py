@@ -237,20 +237,30 @@ class BatchAligner:
         return True
 
     def seeds_collect(self, h: dict):
-        """Finish a seeds_dispatch; pins the handle's padded read batch as
-        the device-resident reads for the following extension waves."""
+        """Finish a seeds_dispatch as an array-native IntvBatch; pins the
+        handle's padded read batch as the device-resident reads for the
+        following extension waves."""
+        from ..ops.smem import IntvBatch
         while self.seeds_step(h):
             pass
         self.stats["reads"] += h["n_reads"]
         self._dev_reads = h["q_dev"]
         self._dev_reads_n = h["n_reads"]
-        intvs = []
+        parts = []
         sa_vals = []
         for sub in h["parts"]:
-            intvs.extend(smem_jax.seed_collect(sub, fetch=self.fetch))
+            parts.append(smem_jax.seed_collect_batch(sub, fetch=self.fetch))
             sa_vals.extend(sub.get("sa_vals") or [None] * len(sub["reads"]))
         h["sa_vals"] = sa_vals
-        return intvs
+        if len(parts) == 1:
+            return parts[0]
+        offs = [parts[0].iv_off]
+        for p in parts[1:]:
+            offs.append(p.iv_off[1:] + offs[-1][-1])
+        return IntvBatch(
+            np.concatenate(offs),
+            *(np.concatenate([getattr(p, f) for p in parts])
+              for f in ("x0", "x1", "sv", "st", "en")))
 
     def collect_seeds(self, seqs: list[np.ndarray]):
         """Stage 1: device SMEM seeding (long reads fall back inside)."""
