@@ -111,11 +111,16 @@ def bench_extend(rng, genome, opt):
             i32(opt.e_ins), wv, 5, 100]
     out = _extend_pallas_jit(QMAX, TMAX, 256, False, *args, *scal)
     jax.block_until_ready(out)
+    # vary h0 per iteration so every timed call is a DISTINCT execution
+    # (loop-over-identical-calls can be short-circuited by the device
+    # tunnel and reported physically impossible GCUPS in round 1)
+    iters = 8
+    h0s = [jnp.asarray((h0 + i).astype(np.int32)) for i in range(iters)]
+    jax.block_until_ready(h0s)
     t0 = time.time()
-    iters = 20
-    for _ in range(iters):
-        out = _extend_pallas_jit(QMAX, TMAX, 256, False, *args, *scal)
-    jax.block_until_ready(out)
+    outs = [_extend_pallas_jit(QMAX, TMAX, 256, False, *args[:4],
+                               h0s[i], *scal) for i in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / iters
     cells = float((qlen.astype(np.int64) * tlen).sum())
     gcups = cells / dt / 1e9
@@ -142,9 +147,11 @@ def bench_smem(rng, genome, fm, dfm, opt):
         r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
         reads.append(r.astype(np.uint8))
     smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=SMEM_L)  # compile
-    t0 = time.time()
-    smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=SMEM_L)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=SMEM_L)
+        dt = min(dt, time.time() - t0)
     return B_SMEM / dt
 
 
@@ -175,9 +182,14 @@ def bench_e2e(rng, genome, fm, opt):
         tr.totals.clear()
         tr.counts.clear()
         batches = [reads[i:i + 4096] for i in range(0, N_E2E, 4096)]
-        t0 = time.time()
-        pipe.run(iter(batches), done.extend)
-        dt = time.time() - t0
+        # the shared tunnel chip's throughput swings several-fold over
+        # minutes; best-of-2 timed passes reduces the draw variance
+        dt = float("inf")
+        for _ in range(2):
+            done.clear()
+            t0 = time.time()
+            pipe.run(iter(batches), done.extend)
+            dt = min(dt, time.time() - t0)
     finally:
         pipe.close()
     assert len(done) == N_E2E
@@ -219,9 +231,12 @@ def bench_e2e_pe(rng, genome, fm, opt):
         pipe.run(iter([reads[:4096]]), done.extend)  # warm
         done.clear()
         batches = [reads[i:i + 4096] for i in range(0, len(reads), 4096)]
-        t0 = time.time()
-        pipe.run(iter(batches), done.extend)
-        dt = time.time() - t0
+        dt = float("inf")
+        for _ in range(2):
+            done.clear()
+            t0 = time.time()
+            pipe.run(iter(batches), done.extend)
+            dt = min(dt, time.time() - t0)
     finally:
         pipe.close()
     return len(reads) / dt

@@ -32,12 +32,20 @@ _BNS_CACHE: dict = {}
 
 
 def _bns_arrays(fm: FMIndex):
+    """(ann_off, pac_or_capsule): when the extension provides make_ref,
+    pac+ann copy ONCE into a shared C++ RefBlock capsule that every
+    per-batch driver borrows (the per-batch pac copy measured ~1 s on a
+    1 Gbp genome); otherwise the raw arrays are passed and copied."""
     key = id(fm)
     c = _BNS_CACHE.get(key)
     if c is None:
         anns = fm.bns.anns
-        c = (np.array([a.offset for a in anns], np.int64),
-             np.ascontiguousarray(fm.bns.pac, np.uint8))
+        ann_off = np.array([a.offset for a in anns], np.int64)
+        pac = np.ascontiguousarray(fm.bns.pac, np.uint8)
+        if hasattr(_ext, "make_ref"):
+            c = (ann_off, _ext.make_ref(pac, ann_off))
+        else:  # pragma: no cover - stale extension build
+            c = (ann_off, pac)
         _BNS_CACHE[key] = c
     return c
 
@@ -72,9 +80,10 @@ def create_driver(opt: MemOpt, fm: FMIndex, seqs, all_intvs, sa_flat,
                      opt.w, opt.zdrop, opt.pen_clip5, opt.pen_clip3],
                     np.int64)
     mat = np.ascontiguousarray(opt.mat[:5, :5], np.int8)
+    ann_arg = None if not isinstance(pac, np.ndarray) else ann_off
     wd = _ext.create(seq_cat, seq_off, np.ascontiguousarray(dev_flags),
                      chain_off, chain_rid, chain_frac, seed_off, seeds,
-                     pac, fm.bns.l_pac, ann_off, opti, mat,
+                     pac, fm.bns.l_pac, ann_arg, opti, mat,
                      qmax, tmax, cap)
     needs = [r for r in range(n) if needs_py_b[r]]
     return wd, needs

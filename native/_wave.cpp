@@ -142,11 +142,26 @@ struct Driver {
   int64_t n_host_tasks = 0;  // oversized/non-resident tasks run inline
   std::vector<uint8_t>* pac_store = nullptr;
   std::vector<int64_t>* ann_store = nullptr;
+  PyObject* ref_cap = nullptr;  // shared per-index RefBlock (borrowed pac)
   ~Driver() {
     delete pac_store;
     delete ann_store;
+    Py_XDECREF(ref_cap);  // driver capsules die with the GIL held
   }
 };
+
+// Per-index reference block: pac (hundreds of MB at Gbp scale) and contig
+// offsets copied ONCE per index into a capsule the Python side caches;
+// every per-batch driver borrows it instead of re-copying
+// (the per-batch copy measured ~1 s/batch on a 1 Gbp genome).
+struct RefBlock {
+  std::vector<uint8_t> pac;
+  std::vector<int64_t> ann;
+};
+
+void refblock_free(PyObject* cap) {
+  delete (RefBlock*)PyCapsule_GetPointer(cap, "bwa_refblock");
+}
 
 // ---------- chain setup + seed stepping ------------------------------
 
@@ -475,10 +490,18 @@ PyObject* py_create(PyObject*, PyObject* args) {
                       chfrac_o, sdoff_o, sds_o, pac_o, annoff_o,
                       opti_o, mat_o};
   const int NB = 12;
+  // pac may arrive as a shared RefBlock capsule (ann rides inside it and
+  // annoff_o is then None) instead of raw buffers
+  bool use_cap = PyCapsule_CheckExact(pac_o);
   Py_buffer bufs[NB];
   for (int i = 0; i < NB; ++i) {
+    if (use_cap && (i == 8 || i == 9)) {
+      std::memset(&bufs[i], 0, sizeof(Py_buffer));
+      continue;
+    }
     if (!get_buf(objs[i], &bufs[i], "arg")) {
-      for (int j = 0; j < i; ++j) PyBuffer_Release(&bufs[j]);
+      for (int j = 0; j < i; ++j)
+        if (bufs[j].obj) PyBuffer_Release(&bufs[j]);
       return nullptr;
     }
   }
@@ -517,8 +540,22 @@ PyObject* py_create(PyObject*, PyObject* args) {
   // dangling pointer on index reload is a worse failure mode)
   static_assert(sizeof(double) == 8, "");
   D->bns.l_pac = (int64_t)l_pac;
-  // copy pac + ann into driver-owned storage
-  {
+  if (use_cap) {
+    // borrow pac/ann from the shared per-index RefBlock
+    auto* rb = (RefBlock*)PyCapsule_GetPointer(pac_o, "bwa_refblock");
+    if (!rb) {
+      delete D;
+      for (int j = 0; j < NB; ++j)
+        if (bufs[j].obj) PyBuffer_Release(&bufs[j]);
+      return nullptr;
+    }
+    D->bns.pac = rb->pac.data();
+    D->bns.offsets = rb->ann.data();
+    D->bns.n_ctg = (int64_t)rb->ann.size();
+    Py_INCREF(pac_o);
+    D->ref_cap = pac_o;
+  } else {
+    // copy pac + ann into driver-owned storage
     auto* pacv = new std::vector<uint8_t>(
         (const uint8_t*)bufs[8].buf,
         (const uint8_t*)bufs[8].buf + bufs[8].len);
@@ -528,8 +565,6 @@ PyObject* py_create(PyObject*, PyObject* args) {
     D->bns.pac = pacv->data();
     D->bns.offsets = annv->data();
     D->bns.n_ctg = (int64_t)annv->size();
-    // leak-free: stash in driver via lambda capture is not possible;
-    // store in members below
     D->pac_store = pacv;
     D->ann_store = annv;
   }
@@ -549,7 +584,8 @@ PyObject* py_create(PyObject*, PyObject* args) {
     R.k = -1;
     advance(*D, R);
   }
-  for (int i = 0; i < NB; ++i) PyBuffer_Release(&bufs[i]);
+  for (int i = 0; i < NB; ++i)
+    if (bufs[i].obj) PyBuffer_Release(&bufs[i]);
   return PyCapsule_New(D, "bwa_wave_driver", driver_destroy);
 }
 
@@ -685,8 +721,29 @@ PyObject* py_finish(PyObject*, PyObject* args) {
                                 (Py_ssize_t)(off.size() * 8)));
 }
 
+// make_ref(pac u8, ann_off i64[nc]) -> capsule owning a shared RefBlock
+PyObject* py_make_ref(PyObject*, PyObject* args) {
+  PyObject *pac_o, *ann_o;
+  if (!PyArg_ParseTuple(args, "OO", &pac_o, &ann_o)) return nullptr;
+  Py_buffer pb, ab;
+  if (!get_buf(pac_o, &pb, "pac")) return nullptr;
+  if (!get_buf(ann_o, &ab, "ann")) {
+    PyBuffer_Release(&pb);
+    return nullptr;
+  }
+  auto* rb = new RefBlock();
+  rb->pac.assign((const uint8_t*)pb.buf, (const uint8_t*)pb.buf + pb.len);
+  rb->ann.assign((const int64_t*)ab.buf,
+                 (const int64_t*)ab.buf + ab.len / 8);
+  PyBuffer_Release(&pb);
+  PyBuffer_Release(&ab);
+  return PyCapsule_New(rb, "bwa_refblock", refblock_free);
+}
+
 PyMethodDef methods[] = {
     {"create", py_create, METH_VARARGS, "create a wave driver"},
+    {"make_ref", py_make_ref, METH_VARARGS,
+     "copy pac/ann once into a shared per-index block"},
     {"pack", py_pack, METH_VARARGS, "pack the next wave for a stream"},
     {"apply", py_apply, METH_VARARGS, "apply device results for a stream"},
     {"n_pending", py_n_pending, METH_VARARGS, "reads not yet finished"},
