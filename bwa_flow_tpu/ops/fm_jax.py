@@ -162,10 +162,26 @@ def _row_words(dfm: DeviceFM, blk: jnp.ndarray
     return counts, words
 
 
+def _narrow_view(dfm: DeviceFM) -> DeviceFM:
+    """An int32-coordinate view of a sub-2^31 index: the FM scalars the
+    occ/extend chain touches (seq_len, primary, L2) become int32, so every
+    derived coordinate/count op runs native int32 instead of the TPU's
+    emulated int64 (~2x fewer VPU ops on the hot probe chain). Callers
+    must guard fm.seq_len < 2^31. jit traces specialize on the leaf
+    dtypes, so narrow and wide programs coexist."""
+    return dfm._replace(
+        seq_len=dfm.seq_len.astype(jnp.int32),
+        primary=dfm.primary.astype(jnp.int32),
+        L2=dfm.L2.astype(jnp.int32),
+        l_pac=dfm.l_pac.astype(jnp.int32))
+
+
 def occ_batch(dfm: DeviceFM, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """occ(k, c) for row coords k in [-1, seq_len] (bwa/bwt.c:107-129).
 
-    k: int64[...]; c: int32[...]. Returns int64[...]."""
+    k: int64[...] (or int32 under a _narrow_view); c: int32[...].
+    Returns the coordinate dtype[...]."""
+    dt = k.dtype
     at_end = k == dfm.seq_len
     at_neg = k == -1
     kk = k - (k >= dfm.primary).astype(k.dtype)
@@ -176,13 +192,13 @@ def occ_batch(dfm: DeviceFM, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     # unrolled 4-way selects: batched take_along_axis lowers to slow
     # per-row gathers on TPU
     base = counts[..., 0]
-    l2c = jnp.full_like(c.astype(jnp.int64), dfm.L2[0])
-    l2c1 = jnp.full_like(c.astype(jnp.int64), dfm.L2[1])
+    l2c = jnp.full_like(c.astype(dt), dfm.L2[0])
+    l2c1 = jnp.full_like(c.astype(dt), dfm.L2[1])
     for cc in range(1, 4):
         base = jnp.where(c == cc, counts[..., cc], base)
         l2c = jnp.where(c == cc, dfm.L2[cc], l2c)
         l2c1 = jnp.where(c == cc, dfm.L2[cc + 1], l2c1)
-    val = base.astype(jnp.int64) + _count_slots(words, c, within)
+    val = base.astype(dt) + _count_slots(words, c, within)
     end_val = l2c1 - l2c
     return jnp.where(at_neg, 0, jnp.where(at_end, end_val, val))
 
@@ -190,7 +206,8 @@ def occ_batch(dfm: DeviceFM, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def occ4_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
     """All-symbol occ at row coords k (bwa/bwt.c:169-186).
 
-    k: int64[...]. Returns int64[..., 4]."""
+    k: int64[...] (or int32 under a _narrow_view). Returns dtype[..., 4]."""
+    dt = k.dtype
     at_end = (k == dfm.seq_len)[..., None]
     at_neg = (k == -1)[..., None]
     kk = k - (k >= dfm.primary).astype(k.dtype)
@@ -201,8 +218,8 @@ def occ4_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
     c4 = jnp.arange(4, dtype=jnp.int32)
     cnt = _count_slots(words[..., None, :], jnp.broadcast_to(c4, kk.shape + (4,)),
                        within[..., None])
-    val = counts.astype(jnp.int64) + cnt
-    end_val = dfm.L2[1:5] - dfm.L2[0:4]
+    val = counts.astype(dt) + cnt
+    end_val = (dfm.L2[1:5] - dfm.L2[0:4]).astype(dt)
     return jnp.where(at_neg, 0, jnp.where(at_end, end_val, val))
 
 
@@ -223,13 +240,13 @@ def bwt_extend_batch(dfm: DeviceFM, ik: jnp.ndarray, is_back: bool
     ok_fwd = dfm.L2[:4] + 1 + tk                        # [..., 4]
     ok_s = tl - tk
     crosses = ((x_f <= dfm.primary) & (x_f + s - 1 >= dfm.primary)
-               ).astype(jnp.int64)
+               ).astype(ik.dtype)
     b3 = ik[..., bwd] + crosses
     b2 = b3 + ok_s[..., 3]
     b1 = b2 + ok_s[..., 2]
     b0 = b1 + ok_s[..., 1]
     ok_bwd = jnp.stack([b0, b1, b2, b3], axis=-1)
-    out = jnp.empty(ik.shape[:-1] + (4, 3), dtype=jnp.int64)
+    out = jnp.empty(ik.shape[:-1] + (4, 3), dtype=ik.dtype)
     out = out.at[..., fwd].set(ok_fwd)
     out = out.at[..., bwd].set(ok_bwd)
     out = out.at[..., 2].set(ok_s)
@@ -238,8 +255,8 @@ def bwt_extend_batch(dfm: DeviceFM, ik: jnp.ndarray, is_back: bool
 
 def set_intv_batch(dfm: DeviceFM, c: jnp.ndarray) -> jnp.ndarray:
     """Initial single-base intervals (bwa/bwt.h:80). c: int32[...] in [0,3].
-    Returns int64[..., 3]."""
-    z = jnp.zeros_like(c, dtype=jnp.int64)
+    Returns [..., 3] in the index's coordinate dtype (dfm.L2's dtype)."""
+    z = jnp.zeros_like(c, dtype=dfm.L2.dtype)
     l2c, l2c1, l2r = z + dfm.L2[0], z + dfm.L2[1], z + dfm.L2[3]
     for cc in range(1, 4):
         sel = c == cc

@@ -66,7 +66,7 @@ def bwt_extend_dir_batch(dfm: DeviceFM, ik: jnp.ndarray,
     ok_probe = dfm.L2[:4] + 1 + tk                       # [B, 4]
     ok_s = tl - tk
     crosses = ((probe <= dfm.primary) & (probe + s - 1 >= dfm.primary)
-               ).astype(I64)
+               ).astype(ik.dtype)
     base = jnp.where(is_back, ik[:, 1], ik[:, 0]) + crosses
     b3 = base
     b2 = b3 + ok_s[:, 3]
@@ -84,6 +84,18 @@ class _MachineConsts(NamedTuple):
     MAXB: int
     MAXM: int
     ITERS: int
+
+
+def _pack_info(start, end, dt):
+    """mem info sort key. Wide: start<<32|end (bwa's uint64_t info,
+    bwa/bwt.c:311). Narrow (int32 coords, reads < 32768 bp): start<<16|end
+    — same lexicographic order, half the sort/compare cost."""
+    if dt == I32:
+        return ((start << 16) | end).astype(I32)
+    return (start.astype(I64) << 32) | end.astype(I64)
+
+
+INFO_SHIFT = {np.dtype(np.int32): 16, np.dtype(np.int64): 32}
 
 
 def _take1(arr, idx):
@@ -157,7 +169,7 @@ def _p3_post(c: _MachineConsts, q, qlen, min_seed_len, max_mem_intv,
     okc = _take_row(ok, cf)
     hit = live & (okc[:, 2] < max_mem_intv) & ((i - x) >= min_seed_len)
     emit = hit & (okc[:, 2] > 0)
-    info = ((x.astype(I64) << 32) | (i + 1).astype(I64))
+    info = _pack_info(x, i + 1, okc.dtype)
     new_mem = jnp.concatenate([okc, info[:, None]], axis=1)
     mem_ovf = emit & (s["n_mem"] >= c.MAXM)
     mems2 = _scatter_slot(s["mems"], s["n_mem"], new_mem,
@@ -315,7 +327,7 @@ def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
     B = st1["mode"].shape[0]
     jl = jnp.arange(L, dtype=I32)[None, :]
     valid_base = (jl < qlen2[:, None]) & (q2 < 4)
-    mi1 = jnp.ones(B, I64)            # pass-1 min_intv
+    mi1 = jnp.ones(B, st1["ik"].dtype)  # pass-1 min_intv
 
     def cond(s):
         return (s["it"] < ITERS) & (jnp.any(s["p1"]["mode"] != 3)
@@ -467,7 +479,7 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
                                    mi_b, lane_ok, CS)
     # scatter-back = gather through dst (index PBUD -> sentinel row)
     r_pad = jnp.concatenate([r_l, jnp.full((1,), BIG32, I32)])
-    bst_pad = jnp.concatenate([bst_l, jnp.zeros((1, 3), I64)])
+    bst_pad = jnp.concatenate([bst_l, jnp.zeros((1, 3), bst_l.dtype)])
     r = r_pad[dst].reshape(NL, NB)
     bst = bst_pad[dst].reshape(NL, NB, 3).transpose(0, 2, 1)  # [NL,3,NB]
     valid = valid & ~dropped.reshape(NL, NB)
@@ -478,7 +490,7 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     m_prev = _cohort_emit(r, brk_g, valid, NB)
     end = s["brk_end"]
     emit = valid & (r < m_prev) & ((end - (r + 1)) >= min_seed_len)
-    info = ((r.astype(I64) + 1) << 32) | end.astype(I64)
+    info = _pack_info(r + 1, end, bst.dtype)
     # bwa appends in death order: group ascending, slot descending
     key = jnp.where(emit, brk_g * (2 * NB) + (NB - slot), BIG32)
     order = jnp.argsort(key, axis=1)
@@ -535,6 +547,12 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     resolved by the caller through the probe path."""
     q = q.astype(I32)
     B = q.shape[0]
+    # coordinate dtype: int32 when the caller passed a _narrow_view'd
+    # index (sub-2^31 genome) — native int32 VPU ops on the whole probe
+    # chain instead of emulated int64
+    dt = dfm.L2.dtype
+    max_mem_intv = max_mem_intv.astype(dt)
+    max_occ = max_occ.astype(dt)
     NB = max(MAXB, 128)  # pass-1 break budget (total across pivots);
     # mutated reads record ~35 breaks (tail ~90+), see PBUD1 note below
     NB2, NP3 = 32, 24          # per-task break budget / pass-3 mem slots
@@ -552,10 +570,10 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     def fresh(NL, NBc):
         return dict(
             mode=jnp.zeros(NL, I32), x=jnp.zeros(NL, I32),
-            i=jnp.zeros(NL, I32), ik=jnp.zeros((NL, 3), I64),
+            i=jnp.zeros(NL, I32), ik=jnp.zeros((NL, 3), dt),
             ik_info=jnp.zeros(NL, I32), g=jnp.zeros(NL, I32),
             nb=jnp.zeros(NL, I32),
-            brk_kls=jnp.zeros((NL, 3, NBc), I64),
+            brk_kls=jnp.zeros((NL, 3, NBc), dt),
             brk_end=jnp.zeros((NL, NBc), I32),
             brk_x=jnp.zeros((NL, NBc), I32),
             brk_g=jnp.zeros((NL, NBc), I32),
@@ -566,14 +584,14 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # then pass 1's backward walks + emission
     c3 = _MachineConsts(L, MAXB, NP3, ITERS)
     st3 = dict(mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
-               i=jnp.zeros(B, I32), ik=jnp.zeros((B, 3), I64),
-               mems=jnp.zeros((B, 4, NP3), I64), n_mem=jnp.zeros(B, I32),
+               i=jnp.zeros(B, I32), ik=jnp.zeros((B, 3), dt),
+               mems=jnp.zeros((B, 4, NP3), dt), n_mem=jnp.zeros(B, I32),
                ovf=jnp.zeros(B, bool), it=jnp.zeros((), I32))
     s1, (mems3, n3, ovf3) = _p1p3_machine(
         dfm, L, NB, ITERS, q_flat, rid, qlen, fresh(B, NB), q, qlen,
         c3, min_seed_len, max_mem_intv, st3)
     mems1, n1, ovf_f1, ovf_p1 = _smem_pass_post(
-        dfm, L, NB, q_flat, rid, jnp.ones(B, I64), min_seed_len, s1,
+        dfm, L, NB, q_flat, rid, jnp.ones(B, dt), min_seed_len, s1,
         PBUD1, CS)
     # ovf is an int32 bitmask of budget-exhaustion sources (diagnosable
     # in production; any nonzero bit routes the read to the host redo)
@@ -584,17 +602,18 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # pool (typical task count is ~1/read; a per-read task grid would
     # waste ~16x the forward-machine bandwidth)
     slot1 = jnp.arange(NB, dtype=I32)[None, :]
-    start = (mems1[:, 3, :] >> 32).astype(I32)
-    end = (mems1[:, 3, :] & 0xFFFFFFFF).astype(I32)
+    ish = 16 if dt == I32 else 32
+    start = (mems1[:, 3, :] >> ish).astype(I32)
+    end = (mems1[:, 3, :] & ((1 << ish) - 1)).astype(I32)
     want = (slot1 < n1[:, None]) \
         & ((end - start) >= split_len) \
-        & (mems1[:, 2, :] <= split_width.astype(I64))
+        & (mems1[:, 2, :] <= split_width.astype(dt))
     mid = ((start + end) >> 1).astype(I32)
     tsrc, _tdst, tv, tdrop = _compact(want.reshape(-1), TBUD)
     ovf = ovf | tdrop.reshape(B, NB).any(axis=1).astype(I32) * OVF_TASKPOOL
     rid2 = tsrc // NB                                  # owning read
     tx = jnp.where(tv, mid.reshape(-1)[tsrc], 0)
-    tmi = jnp.where(tv, (mems1[:, 2, :] + 1).reshape(-1)[tsrc], I64(1))
+    tmi = jnp.where(tv, (mems1[:, 2, :] + 1).reshape(-1)[tsrc], dt.type(1))
     qx = q_flat[rid2 * L + jnp.clip(tx, 0, L - 1)]
     st2 = fresh(TBUD, NB2)
     st2.update(mode=jnp.where(tv, 1, 3), x=tx, i=tx + 1,
@@ -624,7 +643,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
         (v2 & (p2 >= M2)).astype(I32) * OVF_P2_EMIT, mode="drop")
     dst2 = jnp.where(keep2, rid2e * M2 + p2, B * M2)
     ent2 = mems2l.transpose(0, 2, 1).reshape(TBUD * NB2, 4)
-    mems2 = jnp.zeros((B * M2, 4), I64).at[dst2].set(
+    mems2 = jnp.zeros((B * M2, 4), dt).at[dst2].set(
         ent2, mode="drop").reshape(B, M2, 4).transpose(0, 2, 1)
     n2 = jnp.minimum(cnt2, M2)
 
@@ -643,7 +662,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     n_mem = n1 + n2 + n3
     ovf = ovf | (n_mem > MAXM).astype(I32) * OVF_MEMS
     n_mem = jnp.minimum(n_mem, MAXM)
-    key = jnp.where(valid_all, mems[:, 3, :], jnp.iinfo(jnp.int64).max)
+    key = jnp.where(valid_all, mems[:, 3, :], jnp.iinfo(dt).max)
     order = jnp.argsort(key, axis=1)
     mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)[:, :, :MAXM]
     slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
@@ -654,13 +673,17 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
         s_col = jnp.where(valid, mems[:, 2, :], 0)           # [B, MAXM]
         x0_col = mems[:, 0, :]
         over = s_col > max_occ
-        cnt = jnp.where(over, max_occ, s_col)
+        # clamp per-slot counts at MAXO+1: totals past the fused budget
+        # only need to stay past it (callers fall back to the probe
+        # path), and the clamp keeps the int32 cumsum overflow-free for
+        # any max_occ
+        cnt = jnp.minimum(jnp.where(over, max_occ, s_col), MAXO + 1)
         step = jnp.where(over, s_col // jnp.maximum(max_occ, 1), 1)
         cum = jnp.cumsum(cnt, axis=1)
         cum0 = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int64), cum[:, :-1]], axis=1)
+            [jnp.zeros((B, 1), dt), cum[:, :-1]], axis=1)
         occ_total = cum[:, -1].astype(I32)
-        oo = jnp.arange(MAXO, dtype=jnp.int64)[None, :]      # [1, MAXO]
+        oo = jnp.arange(MAXO, dtype=dt)[None, :]             # [1, MAXO]
 
         def fill(j, rows):
             lo = jax.lax.dynamic_index_in_dim(cum0, j, 1)     # [B, 1]
@@ -671,9 +694,9 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
             return jnp.where(m, x0j + (oo - lo) * stj, rows)
 
         rows = jax.lax.fori_loop(0, MAXM, fill,
-                                 jnp.zeros((B, MAXO), jnp.int64))
+                                 jnp.zeros((B, MAXO), dt))
         idx = jnp.clip(rows, 0, dfm.sa_dense.shape[0] - 1).astype(I32)
-        occ_sa = dfm.sa_dense[idx].astype(jnp.int64)
+        occ_sa = dfm.sa_dense[idx].astype(dt)
     else:
         occ_sa = jnp.zeros((B, MAXO), jnp.int64)
         occ_total = jnp.full((B,), -1, I32)   # sentinel: not resolved
@@ -706,7 +729,10 @@ def _pack32(mems, n_mem, ovf, occ_sa, occ_total, H: int):
     l32 = head[:, 1, :].astype(I32)
     s32 = head[:, 2, :].astype(I32)
     info = head[:, 3, :]
-    ie = (((info >> 32) << 16) | (info & 0xFFFF)).astype(I32)
+    if info.dtype == I32:
+        ie = info                 # narrow machine: already start<<16|end
+    else:
+        ie = (((info >> 32) << 16) | (info & 0xFFFF)).astype(I32)
     meta = jnp.stack([n_mem.astype(I32), ovf.astype(I32), occ_total],
                      axis=1)                  # [B, 3]
     return jnp.concatenate([meta, ie, k32, l32, s32,
@@ -746,6 +772,22 @@ def _start_fetch(arr):
     return arr
 
 
+_NARROW_CACHE: dict = {}
+
+
+def _narrow_dfm(dfm: DeviceFM) -> DeviceFM:
+    """Cached int32-coordinate view of a sub-2^31 index (the astype ops
+    are device executions; caching keeps them one-time per index, not
+    per batch)."""
+    from .fm_jax import _narrow_view
+    key = id(dfm.fm_blocks)
+    got = _NARROW_CACHE.get(key)
+    if got is None or got[0] is not dfm.fm_blocks:
+        got = (dfm.fm_blocks, _narrow_view(dfm))
+        _NARROW_CACHE[key] = got
+    return got[1]
+
+
 def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
                   reads: list[np.ndarray], L: int = 256,
                   MAXB: int = 64, MAXM: int = 128,
@@ -774,7 +816,8 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
     H = min(SEED_HEAD, MAXM)
     narrow = fm.seq_len < 2**31 and L < 32768
     out = collect_intv_device(
-        dfm, L, MAXB, MAXM, L * iters_factor, q_dev, qlen_dev, *params,
+        _narrow_dfm(dfm) if narrow else dfm, L, MAXB, MAXM,
+        L * iters_factor, q_dev, qlen_dev, *params,
         pack_H=H if narrow else 0)
     h = dict(reads=reads, opt=opt, fm=fm, L=L, MAXM=MAXM,
              q_dev=q_dev, mems=out[0])
@@ -821,8 +864,9 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
         width = min(width, MAXM)
         mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
         k_c, l_c, s_c = mems[:, 0, :], mems[:, 1, :], mems[:, 2, :]
-        st_c = (mems[:, 3, :] >> 32).astype(np.int32)
-        en_c = (mems[:, 3, :] & 0xFFFFFFFF).astype(np.int32)
+        ish = INFO_SHIFT[mems.dtype]      # narrow machine packs start<<16
+        st_c = (mems[:, 3, :] >> ish).astype(np.int32)
+        en_c = (mems[:, 3, :] & ((1 << ish) - 1)).astype(np.int32)
     elif packed is None:
         mems = fetch(handle["head"])
         k_c, l_c, s_c = mems[:, 0, :], mems[:, 1, :], mems[:, 2, :]
