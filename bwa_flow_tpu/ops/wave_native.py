@@ -91,8 +91,16 @@ def create_driver(opt: MemOpt, fm: FMIndex, seqs, all_intvs, sa_flat,
 
 pack = lambda wd, stream: _ext.pack(wd, stream)
 host_tasks = lambda wd: _ext.host_tasks(wd)
+n_pending = lambda wd: _ext.n_pending(wd)
 apply_results = lambda wd, stream, out: _ext.apply(
     wd, stream, np.ascontiguousarray(out))
+
+
+def drain(wd) -> int:
+    """Finish every pending (not in-flight) read on the exact scalar
+    kernel; returns tasks run. Near-empty tail waves cost a full device
+    round trip but only ~ms on the host."""
+    return _ext.drain(wd)
 
 
 def finish(wd):

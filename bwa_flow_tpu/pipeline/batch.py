@@ -52,12 +52,17 @@ class BatchAligner:
     def __init__(self, opt: MemOpt, fm: FMIndex, smem_L: int = 160,
                  wave_cap: int = 4096, qmax: int = 160, tmax: int = 512,
                  sa_chunk: int = 65536, validate_every: int = 0,
-                 validate_sample: int = 2, device_timeout: float = 300.0):
+                 validate_sample: int = 2, device_timeout: float = 300.0,
+                 drain_max: int | None = None):
         self.opt = opt
         self.fm = fm
         self.dfm = DeviceFM.from_host(fm)
         self.smem_L = smem_L
         self.sa_chunk = sa_chunk
+        # tail waves at or below this many pending reads finish on the
+        # host scalar kernel instead of paying a device round trip
+        self.drain_max = drain_max if drain_max is not None \
+            else min(256, wave_cap // 16)
         # two buffers: wave streams ping-pong (SWTask double buffering)
         self.bufs = [DescTaskBuffer(wave_cap, qmax, tmax),
                      DescTaskBuffer(wave_cap, qmax, tmax)]
@@ -401,24 +406,43 @@ class BatchAligner:
                 qmax, tmax, cap)
         params = buf._params(self.opt)
 
+        inflight = [0, 0]
+
         def pack_run(si):
+            # a near-empty wave costs a full device round trip for a few
+            # tasks that run in ~ms on the host scalar kernel: drain those
+            # inline instead (CPU+accelerator sharing at wave granularity,
+            # the accx_priority analog, kflow/include/kflow/MapStage.h:78)
+            eligible = wave_native.n_pending(wd) - inflight[1 - si]
+            if 0 < eligible <= self.drain_max:
+                with tracer.span("wave.drain"):
+                    wave_native.drain(wd)
+                return None
             with tracer.span("wave.pack"):
                 r = wave_native.pack(wd, si)
             if r is None:
                 return None
             slots_b, desc_b = r
+            count = len(slots_b) // 4
             desc = np.frombuffer(desc_b, np.int64).reshape(11, cap)
+            # pow2-bucketed wave width: tail waves run a small compiled
+            # program instead of the full-cap kernel (few shapes, cached)
+            width = 1024
+            while width < count:
+                width <<= 1
+            width = min(width, cap)
             with tracer.span("wave.dispatch"):
                 from ..ops.chain2aln_jax import narrow_desc
                 out = seed_extend_desc_batch(
                     qmax, tmax, self.smem_L, self.dfm, self._dev_reads,
-                    jnp.asarray(narrow_desc(desc)), *params)
+                    jnp.asarray(narrow_desc(desc[:, :width])), *params)
                 try:
                     out.copy_to_host_async()
                 except AttributeError:
                     pass
             self.stats["waves"] += 1
-            self.stats["ext_tasks_device"] += len(slots_b) // 4
+            self.stats["ext_tasks_device"] += count
+            inflight[si] = count
             return out
 
         streams = [pack_run(0), pack_run(1)]
@@ -431,6 +455,7 @@ class BatchAligner:
                     out = self.fetch(streams[si])
                 with tracer.span("wave.apply"):
                     wave_native.apply_results(wd, si, out)
+                inflight[si] = 0
                 streams[si] = pack_run(si)
                 if on_started is not None:
                     on_started()  # interleave the next seed sub-call

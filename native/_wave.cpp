@@ -644,7 +644,9 @@ PyObject* py_pack(PyObject*, PyObject* args) {
                                 (Py_ssize_t)(desc.size() * 8)));
 }
 
-// apply(cap_obj, stream, out bytes i32[12*cap])
+// apply(cap_obj, stream, out bytes i32[12*width]) — width is inferred
+// from the buffer (the driver buckets wave widths below cap so tail
+// waves run small device programs)
 PyObject* py_apply(PyObject*, PyObject* args) {
   PyObject *cap_o, *out_o;
   int stream;
@@ -655,19 +657,54 @@ PyObject* py_apply(PyObject*, PyObject* args) {
   Py_buffer ob;
   if (!get_buf(out_o, &ob, "out")) return nullptr;
   const int32_t* out = (const int32_t*)ob.buf;
+  int64_t width = (int64_t)(ob.len / (Py_ssize_t)(4 * OUT_ROWS));
   std::vector<int32_t> slots = D->stream_slots[stream];
+  if ((int64_t)slots.size() > width) {
+    PyBuffer_Release(&ob);
+    PyErr_SetString(PyExc_ValueError, "apply: result narrower than wave");
+    return nullptr;
+  }
   Py_BEGIN_ALLOW_THREADS
   for (size_t i = 0; i < slots.size(); ++i) {
     ReadState& R = D->reads[slots[i]];
     R.in_flight = false;
     int32_t row[OUT_ROWS];
     for (int f = 0; f < OUT_ROWS; ++f)
-      row[f] = out[(int64_t)f * D->cap + (int64_t)i];
+      row[f] = out[(int64_t)f * width + (int64_t)i];
     handle_row(*D, R, row);
   }
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&ob);
   Py_RETURN_NONE;
+}
+
+// drain(cap_obj) -> n finished: run every pending (not in-flight) read to
+// completion on the exact scalar kernel. Tail waves with a handful of
+// tasks cost a full device round trip (~fixed RPC latency) but only ~ms
+// on the host; the driver calls this instead of packing a near-empty
+// wave (the accx_priority CPU+accelerator sharing of the reference,
+// kflow/include/kflow/MapStage.h:78-116, at wave granularity). run_host
+// recomputes band-doubling from scratch, which is exact regardless of
+// the read's retry stage.
+PyObject* py_drain(PyObject*, PyObject* args) {
+  PyObject* cap_o;
+  if (!PyArg_ParseTuple(args, "O", &cap_o)) return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  int64_t done = 0;
+  Py_BEGIN_ALLOW_THREADS
+  for (auto& R : D->reads) {
+    while (!R.done && !R.in_flight) {
+      int64_t out[12];
+      run_host(D->opt, *D, R, out);
+      apply_tuple(D->opt, R, out);
+      ++D->n_host_tasks;
+      advance(*D, R);
+      ++done;
+    }
+  }
+  Py_END_ALLOW_THREADS
+  return PyLong_FromLongLong((long long)done);
 }
 
 PyObject* py_n_pending(PyObject*, PyObject* args) {
@@ -746,6 +783,8 @@ PyMethodDef methods[] = {
      "copy pac/ann once into a shared per-index block"},
     {"pack", py_pack, METH_VARARGS, "pack the next wave for a stream"},
     {"apply", py_apply, METH_VARARGS, "apply device results for a stream"},
+    {"drain", py_drain, METH_VARARGS,
+     "finish all pending reads on the scalar kernel"},
     {"n_pending", py_n_pending, METH_VARARGS, "reads not yet finished"},
     {"host_tasks", py_host_tasks, METH_VARARGS,
      "count of tasks run inline on the scalar kernel"},
