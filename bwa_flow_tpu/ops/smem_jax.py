@@ -468,8 +468,15 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     slot = jnp.arange(NB, dtype=I32)[None, :]
     valid = slot < nb[:, None]
 
-    # pack valid breaks into the backward-walk pool
-    src, dst, lane_ok, dropped = _compact(valid.reshape(-1), PBUD)
+    # breaks recorded at pivot x=0 start their walk at i_b=-1 and die
+    # before the first probe (~30% of a typical batch's breaks: every
+    # break of every read's first pivot). Their result is known without
+    # entering the pool: r=-1, state = the recorded break interval.
+    doa = valid & (s["brk_x"] == 0)
+
+    # pack the remaining breaks into the backward-walk pool
+    src, dst, lane_ok, dropped = _compact((valid & ~doa).reshape(-1),
+                                          PBUD)
     lane_nl = src // NB                               # owning lane row
     bst0 = s["brk_kls"].transpose(0, 2, 1).reshape(NL * NB, 3)[src]
     i_b0 = (s["brk_x"] - 1).reshape(-1)[src]
@@ -482,6 +489,8 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     bst_pad = jnp.concatenate([bst_l, jnp.zeros((1, 3), bst_l.dtype)])
     r = r_pad[dst].reshape(NL, NB)
     bst = bst_pad[dst].reshape(NL, NB, 3).transpose(0, 2, 1)  # [NL,3,NB]
+    r = jnp.where(doa, -1, r)
+    bst = jnp.where(doa[:, None, :], s["brk_kls"], bst)
     valid = valid & ~dropped.reshape(NL, NB)
     ovf_pool = dropped.reshape(NL, NB).any(axis=1)
 
@@ -703,7 +712,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     if pack_H:
         # fused narrow bundle: the host fetches ONE int32 array per batch
         # (every extra program/transfer pays the tunnel's fixed RPC cost)
-        packed = _pack32(mems, n_mem, ovf, occ_sa, occ_total, pack_H)
+        packed = _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B)
         return mems, n_mem, ovf, occ_sa, occ_total, packed
     return mems, n_mem, ovf, occ_sa, occ_total
 
@@ -716,27 +725,64 @@ def _pack_meta(n_mem, ovf, occ_total):
     return jnp.stack([n_mem.astype(I32), ovf.astype(I32), occ_total])
 
 
-def _pack32(mems, n_mem, ovf, occ_sa, occ_total, H: int):
-    """Bundle meta + the leading H mem slots + the fused SA values into
-    ONE int32 array [B, 3 + 4H + MAXO] — the whole per-batch seeding
-    result crosses the (serialized, bandwidth-starved) device tunnel as a
-    single transfer at 4 bytes/field instead of three int64 transfers.
-    Traced inline in collect_intv_device so it adds no execute RPC.
-    Valid only for genomes with seq_len < 2^31 and reads < 32768 bp
-    (start<<16|end packing); the caller guards."""
-    head = mems[:, :, :H]                     # [B, 4, H] = (k, l, s, info)
-    k32 = head[:, 0, :].astype(I32)
-    l32 = head[:, 1, :].astype(I32)
-    s32 = head[:, 2, :].astype(I32)
-    info = head[:, 3, :]
-    if info.dtype == I32:
-        ie = info                 # narrow machine: already start<<16|end
-    else:
-        ie = (((info >> 32) << 16) | (info & 0xFFFF)).astype(I32)
-    meta = jnp.stack([n_mem.astype(I32), ovf.astype(I32), occ_total],
-                     axis=1)                  # [B, 3]
-    return jnp.concatenate([meta, ie, k32, l32, s32,
-                            occ_sa.astype(I32)], axis=1)
+# ragged-bundle sizing: flat mem entries / fused-SA values per read
+# (global pools; a batch-mean above these falls back to a dense refetch)
+CAPM_PER = 16
+CAPO_PER = 8
+
+
+def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
+    """Bundle the batch's seeding result as ONE 1-D int32 array holding
+    only the REAL entries (device-side compaction): the tunnel charges
+    ~55 us/KB in bad windows, so shipping 32 padded mem slots + 64 padded
+    SA values per read (~780 B/read) costs more than the machine's
+    compute. Layout:
+
+      [0] total flat mem entries   [1] total flat SA values  [2..3] pad
+      [4        .. 4+B)    n_mem          [4+B   .. 4+2B)  ovf bits
+      [4+2B     .. 4+3B)   occ_total
+      [hdr      .. +CAPM)  info (start<<16|end), per-read segments in
+                           order; then x0 [CAPM], then s [CAPM]
+      [..       .. +CAPO)  fused SA values, segments for reads with
+                           0 <= occ_total <= MAXO
+
+    If the batch's totals exceed the CAPM/CAPO pools ([0]/[1] report
+    this), the host refetches the dense mems instead — a latency
+    fallback, not a correctness one. Narrow machines only (the caller
+    guards seq_len < 2^31, reads < 32768 bp)."""
+    MAXM = mems.shape[2]
+    CAPM = CAPM_PER * B
+    CAPO = CAPO_PER * B
+    slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
+    valid = slot_i < n_mem[:, None]
+    base = jnp.cumsum(n_mem) - n_mem
+    total_m = base[-1] + n_mem[-1]
+    dstm = jnp.where(valid, base[:, None] + slot_i, CAPM).reshape(-1)
+
+    def flat(vals):
+        return jnp.zeros(CAPM, I32).at[dstm].set(
+            vals.astype(I32).reshape(-1), mode="drop")
+
+    info = mems[:, 3, :]
+    if info.dtype != I32:
+        info = (((info >> 32) << 16) | (info & 0xFFFF))
+    fm_ie = flat(info)
+    fm_k = flat(mems[:, 0, :])
+    fm_l = flat(mems[:, 1, :])
+    fm_s = flat(mems[:, 2, :])
+    ocnt = jnp.where((occ_total >= 0) & (occ_total <= MAXO), occ_total, 0)
+    baseo = jnp.cumsum(ocnt) - ocnt
+    total_o = baseo[-1] + ocnt[-1]
+    oo = jnp.arange(occ_sa.shape[1], dtype=I32)[None, :]
+    dsto = jnp.where(oo < ocnt[:, None], baseo[:, None] + oo,
+                     CAPO).reshape(-1)
+    fo = jnp.zeros(CAPO, I32).at[dsto].set(
+        occ_sa.astype(I32).reshape(-1), mode="drop")
+    hdr = jnp.stack([total_m, total_o, jnp.zeros((), I32),
+                     jnp.zeros((), I32)])
+    return jnp.concatenate([hdr, n_mem.astype(I32), ovf.astype(I32),
+                            occ_total.astype(I32), fm_ie, fm_k, fm_l,
+                            fm_s, fo])
 
 
 def pad_reads(reads: list[np.ndarray], L: int
@@ -843,52 +889,69 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
     n = len(reads)
     H = min(SEED_HEAD, MAXM)
     packed = handle.get("packed")
-    occ_np = None
-    k_c = None
+    flats = None            # (k, l, s, st, en) flat arrays + entry owner
+    occ_flat = None
     if packed is not None:
         pk = fetch(packed)
-        n_mem = pk[:, 0]
-        ovf = pk[:, 1] != 0
-        occ_total = pk[:, 2]
-        occ_np = pk[:, 3 + 4 * H:]
+        Bp = handle["q_dev"].shape[0]
+        CAPM, CAPO = CAPM_PER * Bp, CAPO_PER * Bp
+        total_m, total_o = int(pk[0]), int(pk[1])
+        o = 4
+        n_mem = pk[o:o + Bp]
+        o += Bp
+        ovf = pk[o:o + Bp] != 0
+        o += Bp
+        occ_total = pk[o:o + Bp]
+        o += Bp
+        if total_m <= CAPM:
+            fm_ie = pk[o:o + CAPM][:total_m]
+            fm_k = pk[o + CAPM:o + 2 * CAPM][:total_m]
+            fm_l = pk[o + 2 * CAPM:o + 3 * CAPM][:total_m]
+            fm_s = pk[o + 3 * CAPM:o + 4 * CAPM][:total_m]
+            flats = (fm_k, fm_l, fm_s,
+                     (fm_ie >> 16).astype(np.int32),
+                     (fm_ie & 0xFFFF).astype(np.int32))
+        if total_o <= CAPO:
+            occ_flat = pk[o + 4 * CAPM:o + 4 * CAPM + CAPO]
     else:
         meta = fetch(handle["meta"])
         n_mem = meta[0]
         ovf = meta[1] != 0
         occ_total = meta[2]
-    used = int(n_mem.max()) if len(n_mem) else 0
-    if used > H:  # rare: some read used more slots than the eager fetch
+    if flats is None:
+        # wide genome, or the ragged mem pool overflowed (dense refetch)
+        used = int(n_mem.max()) if len(n_mem) else 0
         width = H
         while width < used:
             width <<= 1
         width = min(width, MAXM)
-        mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
-        k_c, l_c, s_c = mems[:, 0, :], mems[:, 1, :], mems[:, 2, :]
+        if packed is None and used <= H:
+            mems = fetch(handle["head"])
+        else:
+            mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
+        W = mems.shape[2]
         ish = INFO_SHIFT[mems.dtype]      # narrow machine packs start<<16
-        st_c = (mems[:, 3, :] >> ish).astype(np.int32)
-        en_c = (mems[:, 3, :] & ((1 << ish) - 1)).astype(np.int32)
-    elif packed is None:
-        mems = fetch(handle["head"])
-        k_c, l_c, s_c = mems[:, 0, :], mems[:, 1, :], mems[:, 2, :]
-        st_c = (mems[:, 3, :] >> 32).astype(np.int32)
-        en_c = (mems[:, 3, :] & 0xFFFFFFFF).astype(np.int32)
+        counts = np.minimum(n_mem[:n].astype(np.int64), W)
+        redo = np.fromiter(
+            (bool(ovf[b]) or len(reads[b]) > L for b in range(n)), bool, n)
+        counts = np.where(redo, 0, counts)
+        m = (np.arange(W)[None, :] < counts[:, None]).ravel()
+        k_c = mems[:n, 0, :].ravel()[m]
+        l_c = mems[:n, 1, :].ravel()[m]
+        s_c = mems[:n, 2, :].ravel()[m]
+        st_c = (mems[:n, 3, :] >> ish).astype(np.int32).ravel()[m]
+        en_c = (mems[:n, 3, :] & ((1 << ish) - 1)).astype(
+            np.int32).ravel()[m]
     else:
-        W = H
-        ie = pk[:, 3:3 + H]
-        k_c = pk[:, 3 + H:3 + 2 * H].astype(np.int64)
-        l_c = pk[:, 3 + 2 * H:3 + 3 * H].astype(np.int64)
-        s_c = pk[:, 3 + 3 * H:3 + 4 * H].astype(np.int64)
-        st_c = (ie >> 16).astype(np.int32)
-        en_c = (ie & 0xFFFF).astype(np.int32)
-    W = k_c.shape[1]
-    counts = np.minimum(n_mem[:n].astype(np.int64), W)
-    redo = np.fromiter(
-        (bool(ovf[b]) or len(reads[b]) > L for b in range(n)), bool, n)
-    counts = np.where(redo, 0, counts)
-    valid = (np.arange(W)[None, :] < counts[:, None])
-    m = valid.ravel()
-    k_c, l_c, s_c, st_c, en_c = (c[:n].ravel()[m]
-                                 for c in (k_c, l_c, s_c, st_c, en_c))
+        counts = n_mem[:n].astype(np.int64)
+        redo = np.fromiter(
+            (bool(ovf[b]) or len(reads[b]) > L for b in range(n)), bool, n)
+        # flat segments: read b owns [base[b], base[b]+n_mem[b])
+        base = np.cumsum(n_mem, dtype=np.int64) - n_mem
+        owner = np.repeat(np.arange(len(n_mem)), n_mem)
+        keep = (owner < n) & ~np.pad(redo, (0, len(n_mem) - n))[owner]
+        counts = np.where(redo, 0, counts)
+        k_c, l_c, s_c, st_c, en_c = (c[keep] for c in flats)
     iv_off = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=iv_off[1:])
     batch = smem_golden.IntvBatch(iv_off, k_c.astype(np.int64),
@@ -898,12 +961,20 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
     # must go through the probe path (redone on host / budget exceeded /
     # no dense SA)
     sa_vals: list = [None] * n
+    occ_np = None
+    if packed is not None:
+        ocnt = np.where((occ_total >= 0) & (occ_total <= MAXO),
+                        occ_total, 0)
+        baseo = np.cumsum(ocnt, dtype=np.int64) - ocnt
     for b in np.nonzero(~redo)[0]:
         t = int(occ_total[b])
         if 0 <= t <= MAXO:
-            if occ_np is None:
-                occ_np = fetch(handle["occ_sa"])
-            sa_vals[b] = occ_np[b, :t]
+            if occ_flat is not None:
+                sa_vals[b] = occ_flat[baseo[b]:baseo[b] + t]
+            elif packed is None:
+                if occ_np is None:
+                    occ_np = fetch(handle["occ_sa"])
+                sa_vals[b] = occ_np[b, :t]
     handle["sa_vals"] = sa_vals
     if redo.any():
         # splice golden-redo reads in (rare: budget overflow / long reads)
