@@ -46,8 +46,9 @@ READ_LEN = 151
 B_EXT = 2048
 QMAX, TMAX = 160, 320
 B_SMEM = 8192
+BATCH = 8192   # e2e pipeline batch (reads per device seeding call)
 SMEM_L = 160
-N_E2E = 16384
+N_E2E = 32768
 
 CODE = np.full(256, 4, np.uint8)
 for _i, _c in enumerate(b"ACGT"):
@@ -146,11 +147,14 @@ def bench_smem(rng, genome, fm, dfm, opt):
         m = rng.random(READ_LEN) < 0.01
         r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
         reads.append(r.astype(np.uint8))
-    smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=SMEM_L)  # compile
+    def once():
+        h = smem_jax.seed_dispatch(opt, fm, dfm, reads, L=SMEM_L)
+        smem_jax.seed_collect_batch(h)
+    once()  # compile
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
-        smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=SMEM_L)
+        once()
         dt = min(dt, time.time() - t0)
     return B_SMEM / dt
 
@@ -170,18 +174,18 @@ def bench_e2e(rng, genome, fm, opt):
                           qual="I" * READ_LEN, id=i))
     n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
     pipe = AlignPipeline(opt, fm, paired=False, n_workers=n_workers,
-                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=4096,
+                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=BATCH,
                                          qmax=QMAX, tmax=TMAX + 192))
     done = []
     try:
         # warmup with the PRODUCTION batch size so all compiles precede
         # the timed region
-        pipe.run(iter([reads[:4096]]), done.extend)
+        pipe.run(iter([reads[:BATCH]]), done.extend)
         done.clear()
         from bwa_flow_tpu.utils.trace import GLOBAL as tr
         tr.totals.clear()
         tr.counts.clear()
-        batches = [reads[i:i + 4096] for i in range(0, N_E2E, 4096)]
+        batches = [reads[i:i + BATCH] for i in range(0, N_E2E, BATCH)]
         # the shared tunnel chip's throughput swings several-fold over
         # minutes; best-of-2 timed passes reduces the draw variance
         dt = float("inf")
@@ -224,13 +228,13 @@ def bench_e2e_pe(rng, genome, fm, opt):
     opt_pe.flag |= MEM_F_PE
     n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
     pipe = AlignPipeline(opt_pe, fm, paired=True, n_workers=n_workers,
-                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=4096,
+                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=BATCH,
                                          qmax=QMAX, tmax=TMAX + 192))
     done = []
     try:
-        pipe.run(iter([reads[:4096]]), done.extend)  # warm
+        pipe.run(iter([reads[:BATCH]]), done.extend)  # warm
         done.clear()
-        batches = [reads[i:i + 4096] for i in range(0, len(reads), 4096)]
+        batches = [reads[i:i + BATCH] for i in range(0, len(reads), BATCH)]
         dt = float("inf")
         for _ in range(2):
             done.clear()
