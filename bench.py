@@ -46,7 +46,8 @@ READ_LEN = 151
 B_EXT = 2048
 QMAX, TMAX = 160, 320
 B_SMEM = 8192
-BATCH = 8192   # e2e pipeline batch (reads per device seeding call)
+BATCH = 4096   # e2e pipeline batch: smaller batches give the
+# overlapped scheduler more windows (seed N+1 rides behind batch N's wave)
 SMEM_L = 160
 N_E2E = 32768
 

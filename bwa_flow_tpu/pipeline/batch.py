@@ -62,7 +62,7 @@ class BatchAligner:
         # tail waves at or below this many pending reads finish on the
         # host scalar kernel instead of paying a device round trip
         self.drain_max = drain_max if drain_max is not None \
-            else min(256, wave_cap // 16)
+            else min(512, wave_cap // 16)
         # two buffers: wave streams ping-pong (SWTask double buffering)
         self.bufs = [DescTaskBuffer(wave_cap, qmax, tmax),
                      DescTaskBuffer(wave_cap, qmax, tmax)]

@@ -359,10 +359,13 @@ class AlignPipeline:
             nxt_box: dict = {}
 
             def dispatch_next():
-                # device seeds batch N+1 AFTER batch N's waves: the
-                # tunnel serializes executions, so work enqueued between
-                # wave rounds would only delay the wave critical path —
-                # the overlap this buys is host tail vs device seeding
+                # device seeds batch N+1 as soon as batch N's main wave
+                # is ON the device: result transfers ride a separate
+                # tunnel channel, so the wave fetch does not wait behind
+                # the queued seed program, and ~the whole wave round of
+                # seeding compute overlaps the wave fetch + host tail.
+                # (Tail rounds nearly always finish via the host drain,
+                # so they don't queue behind the seed program either.)
                 if nxt is None or not self.ba.device_ok:
                     return
                 try:
@@ -380,7 +383,8 @@ class AlignPipeline:
                         # packs descriptor waves, Python only moves them
                         with tracer.span("extend_waves"):
                             regs = ("packed",) + self.ba.extend_waves_packed(
-                                seqs, intvs, luts)
+                                seqs, intvs, luts,
+                                on_started=dispatch_next)
                     else:
                         with tracer.span("chain"):
                             chains = self._chains(seqs, intvs, luts)
