@@ -40,11 +40,14 @@ def _extend_impl():
                 and not os.environ.get("BWA_TPU_NO_PALLAS")):
             from .extend_pallas import _extend_pallas
 
-            def impl(qmax, tmax, *args):
-                return _extend_pallas(qmax, tmax, 256, False, *args)
+            def impl(qmax, tmax, *args, use16=False):
+                return _extend_pallas(qmax, tmax, 256, False, *args,
+                                      use16=use16)
             _EXT_IMPL = impl
         else:
-            _EXT_IMPL = extend_core
+            _EXT_IMPL = \
+                lambda qmax, tmax, *args, use16=False: extend_core(
+                    qmax, tmax, *args)
     return _EXT_IMPL
 
 
@@ -156,12 +159,14 @@ def _pac_window_batch(dfm, start, step_down: bool, N: int) -> jnp.ndarray:
     return jnp.where(is_rev[:, None], 3 - win, win)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   static_argnames=("use16",))
 def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
                            dfm, reads: jnp.ndarray, desc: jnp.ndarray,
                            mat: jnp.ndarray,
                            o_del, e_del, o_ins, e_ins, pen_clip5,
-                           pen_clip3, zdrop) -> jnp.ndarray:
+                           pen_clip3, zdrop, use16: bool = False
+                           ) -> jnp.ndarray:
     """Coupled seed extension from task DESCRIPTORS: query and reference
     windows are assembled on device from the resident read batch and the
     packed reference (DeviceFM.pac_words) via flat 1-D gathers, so a wave
@@ -227,11 +232,13 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
 
     ext = _extend_impl()
     lres = ext(qmax, tmax, ql_q, ql_n, tl_t, tl_n, h0, mat,
-               o_del, e_del, o_ins, e_ins, wl, pen_clip5, zdrop)
+               o_del, e_del, o_ins, e_ins, wl, pen_clip5, zdrop,
+               use16=use16)
     has_left = ql_n > 0
     lscore = jnp.where(has_left, lres[0], h0)
     rres = ext(qmax, tmax, qr_q, qr_n, tr_t, tr_n, lscore, mat,
-               o_del, e_del, o_ins, e_ins, wr, pen_clip3, zdrop)
+               o_del, e_del, o_ins, e_ins, wr, pen_clip3, zdrop,
+               use16=use16)
     has_right = qr_n > 0
     rscore = jnp.where(has_right, rres[0], lscore)
     out = (lscore, lres[1], lres[2], lres[3], lres[4], lres[5],
@@ -316,9 +323,12 @@ class DescTaskBuffer:
         /root/reference/src/fpga/SWTask.cpp:106-244) and never blocks on
         a transfer it just started."""
         import jax.numpy as jnp
+        from .extend_pallas import fits_i16
         out = seed_extend_desc_batch(
             self.qmax, self.tmax, L_reads, dfm, reads_dev,
-            jnp.asarray(narrow_desc(self.desc)), *self._params(opt))
+            jnp.asarray(narrow_desc(self.desc)), *self._params(opt),
+            use16=fits_i16(self.qmax, int(opt.a),
+                           max(opt.pen_clip5, opt.pen_clip3)))
         try:
             out.copy_to_host_async()
         except AttributeError:

@@ -236,9 +236,227 @@ def _make_kernel(qmax: int, tmax: int, tile: int):
     return kernel
 
 
+NEG16 = -(1 << 13)
+
+
+def _make_kernel16(qmax: int, tmax: int, tile: int):
+    """int16 row-space variant of _make_kernel: the DP rows (ehH/ehE, the
+    query profile, every [qmax, tile] intermediate) run as int16 vectors,
+    halving the VPU register count per op — DP scores are bounded by
+    qmax*max(mat)+end_bonus, far under 2^15 for real scoring (the caller
+    guards). Per-lane reductions and while-loop carries stay int32."""
+    QP0 = qmax
+    QP1 = qmax + 16       # eh state spans [0, qmax] (+pad to x16 tiles)
+    DT = jnp.int16
+
+    def kernel(scal_ref, lane_ref, qp_ref, t_ref, out_ref, ehH, ehE):
+        Z = jnp.int32(0)
+        Z6 = DT(0)
+        M1 = jnp.int32(-1)
+        NEGC = DT(NEG16)
+        QBIG = DT(qmax + 2)
+        o_del = scal_ref[0, 0]
+        e_del = scal_ref[0, 1]
+        o_ins = scal_ref[0, 2]
+        e_ins = scal_ref[0, 3]
+        zdrop = scal_ref[0, 4]
+        oe_ins6 = DT(0) + (o_ins + e_ins).astype(DT)
+        e_ins6 = e_ins.astype(DT)
+        oe_del6 = (o_del + e_del).astype(DT)
+        e_del6 = e_del.astype(DT)
+
+        qlen = lane_ref[0:1, :]          # [1, TILE] i32
+        tlen = lane_ref[1:2, :]
+        h0 = lane_ref[2:3, :]
+        wv = lane_ref[3:4, :]
+        qlen6 = qlen.astype(DT)
+        h06 = h0.astype(DT)
+
+        j1 = jax.lax.broadcasted_iota(DT, (QP1, tile), 0)
+        jq = jax.lax.broadcasted_iota(DT, (QP0, tile), 0)
+
+        ehH0 = jnp.where(j1 == Z6, h06,
+                         jnp.maximum(h06 - oe_ins6 - (j1 - DT(1)) * e_ins6,
+                                     Z6))
+        ehH[:] = jnp.where(j1 <= qlen6, ehH0, Z6)
+        ehE[:] = jnp.zeros((QP1, tile), DT)
+
+        zero = jnp.zeros((1, tile), I32)
+        init = (jnp.int32(0), zero, qlen + Z, h0 + Z, zero + M1,
+                zero + M1, zero + M1, zero + M1, zero,
+                ((qlen == Z) | (tlen == Z)).astype(I32))
+
+        def cond(c):
+            i, beg, end, maxv, mi, mj_, mie, gsc, moff, done = c
+            live = ((done == Z) & (i < tlen)).astype(I32)
+            return (i < tmax) & (jnp.max(live) > Z)
+
+        def body(c):
+            i, beg, end, maxv, mi, mj_, mie, gsc, moff, done = c
+            active0 = (done == Z) & (i < tlen)
+            beg = jnp.where(active0, jnp.maximum(beg, i - wv), beg)
+            end = jnp.where(active0,
+                            jnp.minimum(jnp.minimum(end, i + wv + 1), qlen),
+                            end)
+            degen = beg >= end
+            active = active0 & ~degen
+            beg6 = beg.astype(DT)
+            end6 = end.astype(DT)
+
+            # t stays int32: Mosaic cannot vector.load a single i16
+            # sublane row at a dynamic offset ((16,128) tiling)
+            trow = t_ref[pl.ds(i, 1), :].astype(DT)  # [1, TILE]
+            qrow = jnp.zeros((QP0, tile), DT)
+            for cc in range(5):
+                qrow = jnp.where(trow == DT(cc),
+                                 qp_ref[cc * qmax:(cc + 1) * qmax, :], qrow)
+
+            band = (jq >= beg6) & (jq < end6)      # [QP0, TILE]
+            Hd = ehH[0:QP0, :]
+            Ein = ehE[0:QP0, :]
+            M = jnp.where(Hd != Z6, Hd + qrow, Z6)
+            M = jnp.where(band, M, Z6)
+            Ein_b = jnp.where(band, Ein, Z6)
+
+            T_ins = jnp.maximum(M - oe_ins6, Z6)
+            A = jnp.where(band, T_ins + jq * e_ins6, NEGC)
+            run = A
+            k = 1
+            while k < QP0:
+                sh = jnp.concatenate(
+                    [jnp.full((k, tile), NEG16, DT), run[:-k, :]], axis=0)
+                run = jnp.maximum(run, sh)
+                k <<= 1
+            runs = jnp.concatenate(
+                [jnp.full((1, tile), NEG16, DT), run[:-1, :]], axis=0)
+            F = jnp.maximum(runs - (jq - DT(1)) * e_ins6, NEGC)
+            F = jnp.where(jq == beg6, Z6, F)
+            F = jnp.where(band, F, Z6)
+            F = jnp.maximum(F, Z6)
+
+            H = jnp.maximum(jnp.maximum(M, Ein_b), F)
+            H = jnp.where(band, H, Z6)
+            Eout = jnp.maximum(jnp.maximum(M - oe_del6, Z6),
+                               Ein_b - e_del6)
+            Eout = jnp.where(band, Eout, Z6)
+
+            h1_init32 = jnp.where(
+                beg == Z,
+                jnp.maximum(h0 - (o_del + e_del * (i + jnp.int32(1))), Z),
+                Z)
+            h1_init = h1_init32.astype(DT)
+
+            Hshift = jnp.concatenate(
+                [jnp.zeros((1, tile), DT), H,
+                 jnp.zeros((QP1 - QP0 - 1, tile), DT)], axis=0)
+            in_write = (j1 > beg6) & (j1 <= end6)
+            new_ehH = jnp.where(j1 == beg6, h1_init,
+                                jnp.where(in_write, Hshift, ehH[:]))
+            band_e = (j1 >= beg6) & (j1 < end6)
+            Epad = jnp.concatenate(
+                [Eout, jnp.zeros((QP1 - QP0, tile), DT)], axis=0)
+            new_ehE = jnp.where(band_e, Epad,
+                                jnp.where(j1 == end6, Z6, ehE[:]))
+
+            # Mosaic has no int16 reductions: cast reduce operands to
+            # int32 at the boundary (5 casts vs ~40 row ops)
+            h1 = jnp.sum(jnp.where(j1 == end6, Hshift, Z6).astype(I32),
+                         axis=0, dtype=I32)[None, :]
+            mrow = jnp.max(jnp.where(band, H, Z6).astype(I32),
+                           axis=0)[None, :]
+            att = band & (H == mrow.astype(DT))
+            mj = jnp.max(jnp.where(att, jq, DT(-1)).astype(I32),
+                         axis=0)[None, :]
+            mj = jnp.where(mrow > Z, mj, end - jnp.int32(1))
+
+            j_after = jnp.where(degen, beg, end)
+            h1_eff = jnp.where(degen, h1_init32, h1)
+            to_end = active0 & (j_after == qlen)
+            upd_ie = to_end & (h1_eff >= gsc)
+            mie = jnp.where(upd_ie, i, mie)
+            gsc = jnp.where(to_end, jnp.maximum(gsc, h1_eff), gsc)
+
+            break_zero = mrow == Z
+            improved = mrow > maxv
+            n_maxv = jnp.where(improved, mrow, maxv)
+            n_mi = jnp.where(improved, i, mi)
+            n_mj = jnp.where(improved, mj, mj_)
+            n_moff = jnp.where(improved,
+                               jnp.maximum(moff, jnp.abs(mj - i)), moff)
+            di = i - mi
+            dj = mj - mj_
+            zd_val = jnp.where(di > dj,
+                               maxv - mrow - (di - dj) * e_del,
+                               maxv - mrow - (dj - di) * e_ins)
+            zd = zd_val > zdrop
+            break_z = (~improved) & (zdrop > Z) & zd
+            broke = break_zero | break_z
+
+            nz = (new_ehH != Z6) | (new_ehE != Z6)
+            fwd = nz & (j1 >= beg6) & (j1 < end6)
+            first_nz = jnp.min(jnp.where(fwd, j1, QBIG).astype(I32),
+                               axis=0)[None, :]
+            beg_s = jnp.minimum(first_nz, end)
+            bwd = nz & (j1 >= beg_s.astype(DT)) & (j1 <= end6)
+            last_nz = jnp.max(
+                jnp.where(bwd, j1, beg_s.astype(DT) - DT(1)).astype(I32),
+                axis=0)[None, :]
+            end_s = jnp.minimum(last_nz + jnp.int32(2), qlen)
+
+            act2 = active
+            deg2 = active0 & degen
+            at_end = j1 == end6
+            ehH[:] = jnp.where(act2, new_ehH,
+                               jnp.where(deg2 & at_end, h1_init, ehH[:]))
+            ehE[:] = jnp.where(act2, new_ehE,
+                               jnp.where(deg2 & at_end, Z6, ehE[:]))
+
+            keep = active & ~broke
+            upd = active & ~break_zero
+            return (i + 1,
+                    jnp.where(keep, beg_s, beg),
+                    jnp.where(keep, end_s, end),
+                    jnp.where(upd, n_maxv, maxv),
+                    jnp.where(upd, n_mi, mi),
+                    jnp.where(upd, n_mj, mj_),
+                    mie, gsc,
+                    jnp.where(upd, n_moff, moff),
+                    jnp.maximum(done, ((degen & active0) | (active & broke)
+                                       ).astype(I32)))
+
+        i, beg, end, maxv, mi, mj_, mie, gsc, moff, done = \
+            jax.lax.while_loop(cond, body, init)
+        out_ref[0:1, :] = maxv
+        out_ref[1:2, :] = mj_ + 1
+        out_ref[2:3, :] = mi + 1
+        out_ref[3:4, :] = mie + 1
+        out_ref[4:5, :] = gsc
+        out_ref[5:6, :] = moff
+        out_ref[6:7, :] = jnp.zeros((1, tile), I32)
+        out_ref[7:8, :] = jnp.zeros((1, tile), I32)
+
+    return kernel
+
+
+def fits_i16(qmax: int, max_mat: int, end_bonus: int) -> bool:
+    """True when every DP row value is bounded inside int16 for this
+    scoring: scores <= (qmax+1)*max_mat + end_bonus and the F-scan offset
+    ramp stays above NEG16.
+
+    PARKED off by default: the int16 kernel is exact under the Pallas
+    interpreter (see /tmp-free fuzz in tests) but the current Mosaic
+    release rejects it with an "Invalid relayout ... vector<176x256xi1>"
+    internal error on [QP1, tile] masks derived from int16 compares.
+    Enable with BWA_TPU_EXTEND16=1 to retry on newer toolchains."""
+    import os
+    if not os.environ.get("BWA_TPU_EXTEND16"):
+        return False
+    return (qmax + 2) * max(max_mat, 1) + end_bonus < (1 << 13) - 256
+
+
 def _extend_pallas(qmax: int, tmax: int, tile: int, interpret: bool,
                    q, qlen, t, tlen, h0, mat, o_del, e_del, o_ins, e_ins,
-                   w, end_bonus, zdrop):
+                   w, end_bonus, zdrop, use16: bool = False):
     """extend_core-compatible entry: q int32[B, qmax] (0..4), t int32[B,
     tmax], per-lane qlen/tlen/h0/w; returns 6 int32[B] vectors
     (score, qle, tle, gtle, gscore, max_off)."""
@@ -283,8 +501,9 @@ def _extend_pallas(qmax: int, tmax: int, tile: int, interpret: bool,
         # Mosaic cannot legalize in func.return
         return (jnp.int32(0), jnp.asarray(i, I32))
 
+    DT = jnp.int16 if use16 else I32
     out = pl.pallas_call(
-        _make_kernel(qmax, tmax, tile),
+        (_make_kernel16 if use16 else _make_kernel)(qmax, tmax, tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 5), lambda i: (jnp.int32(0), jnp.int32(0)),
@@ -299,18 +518,20 @@ def _extend_pallas(qmax: int, tmax: int, tile: int, interpret: bool,
         out_specs=pl.BlockSpec((8, tile), _imap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, Bp), I32),
-        scratch_shapes=[pltpu.VMEM((qmax + 8, tile), I32),
-                        pltpu.VMEM((qmax + 8, tile), I32)],
+        scratch_shapes=[
+            pltpu.VMEM((qmax + (16 if use16 else 8), tile), DT),
+            pltpu.VMEM((qmax + (16 if use16 else 8), tile), DT)],
         interpret=interpret,
-    )(scal, lane, qp, tT)
+    )(scal, lane, qp.astype(DT), tT)
     res = out[:, :B]
     # restore the degenerate-lane contract (qlen==0 or tlen==0):
     # (h0, 0, 0, 0, -1, 0) — matches extend_core's init fall-through
     return (res[0], res[1], res[2], res[3], res[4], res[5])
 
 
-_extend_pallas_jit = functools.partial(jax.jit, static_argnums=(0, 1, 2, 3)
-                                       )(_extend_pallas)
+_extend_pallas_jit = functools.partial(
+    jax.jit, static_argnums=(0, 1, 2, 3),
+    static_argnames=("use16",))(_extend_pallas)
 
 
 def extend_core_pallas(qmax: int, tmax: int, q, qlen, t, tlen, h0, mat,

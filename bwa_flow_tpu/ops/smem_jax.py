@@ -728,7 +728,7 @@ def _pack_meta(n_mem, ovf, occ_total):
 # ragged-bundle sizing: flat mem entries / fused-SA values per read
 # (global pools; a batch-mean above these falls back to a dense refetch)
 CAPM_PER = 16
-CAPO_PER = 8
+CAPO_PER = 12
 
 
 def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
@@ -768,7 +768,9 @@ def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
         info = (((info >> 32) << 16) | (info & 0xFFFF))
     fm_ie = flat(info)
     fm_k = flat(mems[:, 0, :])
-    fm_l = flat(mems[:, 1, :])
+    # x1 (the reverse-complement interval coordinate) is not consumed by
+    # the host chain/SA stages, so it stays on device; the lists() view
+    # (tests / Python fallbacks) refetches it from the dense mems
     fm_s = flat(mems[:, 2, :])
     ocnt = jnp.where((occ_total >= 0) & (occ_total <= MAXO), occ_total, 0)
     baseo = jnp.cumsum(ocnt) - ocnt
@@ -781,8 +783,8 @@ def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
     hdr = jnp.stack([total_m, total_o, jnp.zeros((), I32),
                      jnp.zeros((), I32)])
     return jnp.concatenate([hdr, n_mem.astype(I32), ovf.astype(I32),
-                            occ_total.astype(I32), fm_ie, fm_k, fm_l,
-                            fm_s, fo])
+                            occ_total.astype(I32), fm_ie, fm_k, fm_s,
+                            fo])
 
 
 def pad_reads(reads: list[np.ndarray], L: int
@@ -906,13 +908,12 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
         if total_m <= CAPM:
             fm_ie = pk[o:o + CAPM][:total_m]
             fm_k = pk[o + CAPM:o + 2 * CAPM][:total_m]
-            fm_l = pk[o + 2 * CAPM:o + 3 * CAPM][:total_m]
-            fm_s = pk[o + 3 * CAPM:o + 4 * CAPM][:total_m]
-            flats = (fm_k, fm_l, fm_s,
+            fm_s = pk[o + 2 * CAPM:o + 3 * CAPM][:total_m]
+            flats = (fm_k, np.zeros(total_m, np.int32), fm_s,
                      (fm_ie >> 16).astype(np.int32),
                      (fm_ie & 0xFFFF).astype(np.int32))
         if total_o <= CAPO:
-            occ_flat = pk[o + 4 * CAPM:o + 4 * CAPM + CAPO]
+            occ_flat = pk[o + 3 * CAPM:o + 3 * CAPM + CAPO]
     else:
         meta = fetch(handle["meta"])
         n_mem = meta[0]
@@ -952,6 +953,7 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
         keep = (owner < n) & ~np.pad(redo, (0, len(n_mem) - n))[owner]
         counts = np.where(redo, 0, counts)
         k_c, l_c, s_c, st_c, en_c = (c[keep] for c in flats)
+        handle["_x1_elided"] = (n_mem, redo)
     iv_off = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=iv_off[1:])
     batch = smem_golden.IntvBatch(iv_off, k_c.astype(np.int64),
@@ -997,8 +999,26 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
 def seed_collect(handle: dict, fetch=np.asarray
                  ) -> list[list[smem_golden.Intv]]:
     """Finish a seed_dispatch as per-read Intv lists (Python-object view
-    of seed_collect_batch, kept for the fallback/golden paths)."""
-    return seed_collect_batch(handle, fetch).lists()
+    of seed_collect_batch, kept for the fallback/golden paths). The
+    ragged bundle elides x1 (production never reads it); this view
+    restores it from the device-resident dense mems."""
+    batch = seed_collect_batch(handle, fetch)
+    info = handle.pop("_x1_elided", None)
+    if info is not None:
+        n_mem, redo = info
+        used = int(n_mem.max()) if len(n_mem) else 0
+        width = 1
+        while width < max(used, 1):
+            width <<= 1
+        width = min(width, handle["MAXM"])
+        mems = fetch(_start_fetch(_mems_slice(handle["mems"], width)))
+        off = batch.iv_off
+        x1 = batch.x1.copy()
+        for r in np.nonzero(~redo)[0]:
+            c = off[r + 1] - off[r]
+            x1[off[r]:off[r + 1]] = mems[r, 1, :c]
+        batch.x1 = x1
+    return batch.lists()
 
 
 def collect_intv_batch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,

@@ -433,9 +433,13 @@ class BatchAligner:
             width = min(width, cap)
             with tracer.span("wave.dispatch"):
                 from ..ops.chain2aln_jax import narrow_desc
+                from ..ops.extend_pallas import fits_i16
                 out = seed_extend_desc_batch(
                     qmax, tmax, self.smem_L, self.dfm, self._dev_reads,
-                    jnp.asarray(narrow_desc(desc[:, :width])), *params)
+                    jnp.asarray(narrow_desc(desc[:, :width])), *params,
+                    use16=fits_i16(qmax, int(self.opt.a),
+                                   max(self.opt.pen_clip5,
+                                       self.opt.pen_clip3)))
                 try:
                     out.copy_to_host_async()
                 except AttributeError:
