@@ -247,6 +247,53 @@ def bench_e2e_pe(rng, genome, fm, opt):
     return len(reads) / dt
 
 
+def bench_e2e_gbp(opt):
+    """Human-scale axis: SE e2e on a 1 Gbp stock `bwa index` genome when
+    the cached artifacts exist (.cache/gbp, built once by the real bwa
+    binary). int64 SA probes walk the sampled SA on device (no dense-SA
+    densification at this scale); everything else is the same production
+    pipeline. Returns None when the index is absent."""
+    import os
+    pfx = CACHE / "gbp" / "ref.fa"
+    if not (CACHE / "gbp" / "ref.fa.sa").exists():
+        return None
+    from bwa_flow_tpu.index.io import load_index
+    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+    t0 = time.time()
+    fm = load_index(str(pfx))
+    print(f"# gbp index load: {time.time()-t0:.1f}s "
+          f"(seq_len={fm.seq_len})", file=sys.stderr)
+    pac = fm.bns.pac
+    rng = np.random.default_rng(11)
+    reads = []
+    n = 8192
+    for i in range(n):
+        pos = int(rng.integers(0, 20_000_000 - READ_LEN))
+        idx = np.arange(pos, pos + READ_LEN)
+        r = ((pac[idx >> 2] >> ((~idx & 3) << 1)) & 3).astype(np.uint8)
+        m = rng.random(READ_LEN) < 0.01
+        r[m] = (r[m] + rng.integers(1, 4, m.sum()).astype(np.uint8)) % 4
+        reads.append(Read(name=f"g{i}", seq=r, qual="I" * READ_LEN, id=i))
+    n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
+    pipe = AlignPipeline(opt, fm, paired=False, n_workers=n_workers,
+                         aligner_kw=dict(smem_L=SMEM_L, wave_cap=4096,
+                                         qmax=QMAX, tmax=TMAX + 192))
+    done = []
+    try:
+        pipe.run(iter([reads[:4096]]), done.extend)  # warm/compile
+        dt = float("inf")
+        for _ in range(2):
+            done.clear()
+            t0 = time.time()
+            pipe.run(iter([reads[i:i + 4096] for i in range(0, n, 4096)]),
+                     done.extend)
+            dt = min(dt, time.time() - t0)
+    finally:
+        pipe.close()
+    assert len(done) == n
+    return n / dt
+
+
 def bench_host_oracle(rng, genome, fm, opt):
     """Single-core golden aligner rate — the vs_baseline denominator
     (the reference publishes no numbers; one optimized CPU core of the
@@ -286,6 +333,13 @@ def main():
     print("# PE spans:\n" + _tr.report(), file=sys.stderr)
     host_rps = bench_host_oracle(rng, genome, fm, opt)
     print(f"# host golden (1 core): {host_rps:.1f} reads/s", file=sys.stderr)
+    try:
+        gbp_rps = bench_e2e_gbp(opt)
+    except Exception as e:   # the headline metrics must survive a Gbp
+        print(f"# e2e 1Gbp genome failed: {e!r}", file=sys.stderr)
+        gbp_rps = None       # index/load/compile hiccup
+    if gbp_rps:
+        print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "e2e_se_reads_per_s",
@@ -298,6 +352,7 @@ def main():
             "smem_seed_reads_per_s": round(smem_rps, 1),
             "host_golden_reads_per_s": round(host_rps, 2),
             "host_oracle_gcups": round(cpu_gcups, 4),
+            "e2e_gbp_reads_per_s": round(gbp_rps, 1) if gbp_rps else None,
             "read_len": READ_LEN,
             "n_reads": N_E2E,
         },
