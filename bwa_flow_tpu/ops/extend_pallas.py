@@ -269,8 +269,13 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
         tlen = lane_ref[1:2, :]
         h0 = lane_ref[2:3, :]
         wv = lane_ref[3:4, :]
-        qlen6 = qlen.astype(DT)
-        h06 = h0.astype(DT)
+        # every [1, tile] int16 operand is broadcast to full row shape
+        # before mixing with [QP, tile] vectors: Mosaic's int16 layout
+        # assignment cannot relayout replicated-sublane i1/i16 rows
+        # against (16, 128)-tiled full vectors ("Invalid relayout"
+        # internal error)
+        qlen6 = jnp.broadcast_to(qlen.astype(DT), (QP1, tile))
+        h06 = jnp.broadcast_to(h0.astype(DT), (QP1, tile))
 
         j1 = jax.lax.broadcasted_iota(DT, (QP1, tile), 0)
         jq = jax.lax.broadcasted_iota(DT, (QP0, tile), 0)
@@ -300,12 +305,15 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
                             end)
             degen = beg >= end
             active = active0 & ~degen
-            beg6 = beg.astype(DT)
-            end6 = end.astype(DT)
+            beg6 = jnp.broadcast_to(beg.astype(DT), (QP0, tile))
+            end6 = jnp.broadcast_to(end.astype(DT), (QP0, tile))
+            beg6w = jnp.broadcast_to(beg.astype(DT), (QP1, tile))
+            end6w = jnp.broadcast_to(end.astype(DT), (QP1, tile))
 
             # t stays int32: Mosaic cannot vector.load a single i16
             # sublane row at a dynamic offset ((16,128) tiling)
-            trow = t_ref[pl.ds(i, 1), :].astype(DT)  # [1, TILE]
+            trow = jnp.broadcast_to(
+                t_ref[pl.ds(i, 1), :].astype(DT), (QP0, tile))
             qrow = jnp.zeros((QP0, tile), DT)
             for cc in range(5):
                 qrow = jnp.where(trow == DT(cc),
@@ -344,27 +352,28 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
                 beg == Z,
                 jnp.maximum(h0 - (o_del + e_del * (i + jnp.int32(1))), Z),
                 Z)
-            h1_init = h1_init32.astype(DT)
+            h1_init = jnp.broadcast_to(h1_init32.astype(DT), (QP1, tile))
 
             Hshift = jnp.concatenate(
                 [jnp.zeros((1, tile), DT), H,
                  jnp.zeros((QP1 - QP0 - 1, tile), DT)], axis=0)
-            in_write = (j1 > beg6) & (j1 <= end6)
-            new_ehH = jnp.where(j1 == beg6, h1_init,
+            in_write = (j1 > beg6w) & (j1 <= end6w)
+            new_ehH = jnp.where(j1 == beg6w, h1_init,
                                 jnp.where(in_write, Hshift, ehH[:]))
-            band_e = (j1 >= beg6) & (j1 < end6)
+            band_e = (j1 >= beg6w) & (j1 < end6w)
             Epad = jnp.concatenate(
                 [Eout, jnp.zeros((QP1 - QP0, tile), DT)], axis=0)
             new_ehE = jnp.where(band_e, Epad,
-                                jnp.where(j1 == end6, Z6, ehE[:]))
+                                jnp.where(j1 == end6w, Z6, ehE[:]))
 
             # Mosaic has no int16 reductions: cast reduce operands to
             # int32 at the boundary (5 casts vs ~40 row ops)
-            h1 = jnp.sum(jnp.where(j1 == end6, Hshift, Z6).astype(I32),
+            h1 = jnp.sum(jnp.where(j1 == end6w, Hshift, Z6).astype(I32),
                          axis=0, dtype=I32)[None, :]
             mrow = jnp.max(jnp.where(band, H, Z6).astype(I32),
                            axis=0)[None, :]
-            att = band & (H == mrow.astype(DT))
+            att = band & (H == jnp.broadcast_to(mrow.astype(DT),
+                                                (QP0, tile)))
             mj = jnp.max(jnp.where(att, jq, DT(-1)).astype(I32),
                          axis=0)[None, :]
             mj = jnp.where(mrow > Z, mj, end - jnp.int32(1))
@@ -393,19 +402,20 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
             broke = break_zero | break_z
 
             nz = (new_ehH != Z6) | (new_ehE != Z6)
-            fwd = nz & (j1 >= beg6) & (j1 < end6)
+            fwd = nz & (j1 >= beg6w) & (j1 < end6w)
             first_nz = jnp.min(jnp.where(fwd, j1, QBIG).astype(I32),
                                axis=0)[None, :]
             beg_s = jnp.minimum(first_nz, end)
-            bwd = nz & (j1 >= beg_s.astype(DT)) & (j1 <= end6)
+            beg_s6 = jnp.broadcast_to(beg_s.astype(DT), (QP1, tile))
+            bwd = nz & (j1 >= beg_s6) & (j1 <= end6w)
             last_nz = jnp.max(
-                jnp.where(bwd, j1, beg_s.astype(DT) - DT(1)).astype(I32),
+                jnp.where(bwd, j1, beg_s6 - DT(1)).astype(I32),
                 axis=0)[None, :]
             end_s = jnp.minimum(last_nz + jnp.int32(2), qlen)
 
-            act2 = active
-            deg2 = active0 & degen
-            at_end = j1 == end6
+            act2 = jnp.broadcast_to(active, (QP1, tile))
+            deg2 = jnp.broadcast_to(active0 & degen, (QP1, tile))
+            at_end = j1 == end6w
             ehH[:] = jnp.where(act2, new_ehH,
                                jnp.where(deg2 & at_end, h1_init, ehH[:]))
             ehE[:] = jnp.where(act2, new_ehE,
