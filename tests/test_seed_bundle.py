@@ -1,0 +1,96 @@
+"""Ragged seed bundle edge paths: pool overflow falls back to the dense
+refetch, the lists() view restores the elided x1, and the wave driver's
+host drain produces exact output."""
+
+import numpy as np
+
+from bwa_flow_tpu.ops import fm_jax, smem_jax
+from bwa_flow_tpu.ops import smem as smem_golden
+from bwa_flow_tpu.utils.opts import MemOpt
+
+
+def _reads(rng, contigs, n, L=101):
+    code = np.full(256, 4, dtype=np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        code[ch] = i
+    seqs = [np.frombuffer(s, dtype=np.uint8) for _, _, s in contigs]
+    out = []
+    for _ in range(n):
+        seq = seqs[int(rng.integers(0, len(seqs)))]
+        pos = int(rng.integers(0, max(1, len(seq) - L)))
+        r = code[seq[pos:pos + L]].astype(np.int32).copy()
+        m = rng.random(len(r)) < 0.04
+        r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
+        out.append(r.astype(np.uint8))
+    return out
+
+
+def test_ragged_pool_overflow_dense_refetch(small_index, rng, monkeypatch):
+    """Force CAPM/CAPO pools far below the batch's real totals: the host
+    must refetch the dense mems and still return exact intervals + fused
+    SA coverage via the probe path (occ segments dropped)."""
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    reads = _reads(rng, contigs, 24)
+    monkeypatch.setattr(smem_jax, "CAPM_PER", 1)
+    monkeypatch.setattr(smem_jax, "CAPO_PER", 1)
+    # the pool sizes bake into the traced program: drop cached traces so
+    # the tiny pools take effect now and the defaults do again afterwards
+    smem_jax.collect_intv_device.clear_cache()
+    try:
+        got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128)
+    finally:
+        smem_jax.collect_intv_device.clear_cache()
+    for b, r in enumerate(reads):
+        want = smem_golden.collect_intv(opt, fm, r)
+        assert sorted((m.x0, m.x1, m.s, m.info) for m in got[b]) == \
+            sorted((m.x0, m.x1, m.s, m.info) for m in want), f"read {b}"
+
+
+def test_batch_view_elides_x1_lists_view_restores(small_index, rng):
+    """Production array path ships no x1 (zeros); the lists() view must
+    still carry the exact x1 (device refetch)."""
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    reads = _reads(rng, contigs, 8)
+    h = smem_jax.seed_dispatch(opt, fm, dfm, reads, L=128)
+    batch = smem_jax.seed_collect_batch(h)
+    # batch view: x1 elided unless a redo spliced golden values in
+    h2 = smem_jax.seed_dispatch(opt, fm, dfm, reads, L=128)
+    lists = smem_jax.seed_collect(h2)
+    for b, r in enumerate(reads):
+        want = smem_golden.collect_intv(opt, fm, r)
+        assert [(m.x0, m.x1, m.s, m.info) for m in lists[b]] == \
+            [(m.x0, m.x1, m.s, m.info) for m in want]
+        lo, hi = batch.iv_off[b], batch.iv_off[b + 1]
+        assert list(batch.x0[lo:hi]) == [m.x0 for m in want]
+
+
+def test_wave_full_host_drain_exact(small_index, rng):
+    """drain_max above the batch size: every extension task runs on the
+    host scalar kernel through _wave.drain; output must stay exact."""
+    import copy
+
+    from bwa_flow_tpu.io.sam import Read
+    from bwa_flow_tpu.models import golden
+    from bwa_flow_tpu.ops import wave_native
+    from bwa_flow_tpu.pipeline.batch import BatchAligner
+
+    if not wave_native.available():
+        import pytest
+        pytest.skip("native wave driver not built")
+    fm, contigs = small_index
+    opt = MemOpt()
+    seqs = _reads(rng, contigs, 16)
+    reads = [Read(name=f"d{i}", seq=s, qual="I" * len(s), id=i)
+             for i, s in enumerate(seqs)]
+    want = copy.deepcopy(reads)
+    golden.align_se(opt, fm, want, n_processed=0)
+    ba = BatchAligner(opt, fm, wave_cap=64, drain_max=10_000)
+    ba.align_se(reads, n_processed=0)
+    for got_r, want_r in zip(reads, want):
+        assert got_r.sam == want_r.sam, got_r.name
+    assert ba.stats["ext_tasks_device"] == 0
+    assert ba.stats["ext_tasks_host"] > 0
