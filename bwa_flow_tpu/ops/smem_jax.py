@@ -826,12 +826,14 @@ _NARROW_CACHE: dict = {}
 def _narrow_dfm(dfm: DeviceFM) -> DeviceFM:
     """Cached int32-coordinate view of a sub-2^31 index (the astype ops
     are device executions; caching keeps them one-time per index, not
-    per batch)."""
+    per batch). Keyed by the DeviceFM itself (held in the cache, so ids
+    stay unique): variants sharing fm_blocks but differing in other
+    leaves must not be served each other's views."""
     from .fm_jax import _narrow_view
-    key = id(dfm.fm_blocks)
+    key = id(dfm)
     got = _NARROW_CACHE.get(key)
-    if got is None or got[0] is not dfm.fm_blocks:
-        got = (dfm.fm_blocks, _narrow_view(dfm))
+    if got is None or got[0] is not dfm:
+        got = (dfm, _narrow_view(dfm))
         _NARROW_CACHE[key] = got
     return got[1]
 
@@ -947,8 +949,8 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
         counts = n_mem[:n].astype(np.int64)
         redo = np.fromiter(
             (bool(ovf[b]) or len(reads[b]) > L for b in range(n)), bool, n)
-        # flat segments: read b owns [base[b], base[b]+n_mem[b])
-        base = np.cumsum(n_mem, dtype=np.int64) - n_mem
+        # flat segments are read-major; the owner of each entry fully
+        # determines the keep selection
         owner = np.repeat(np.arange(len(n_mem)), n_mem)
         keep = (owner < n) & ~np.pad(redo, (0, len(n_mem) - n))[owner]
         counts = np.where(redo, 0, counts)

@@ -96,6 +96,14 @@ apply_results = lambda wd, stream, out: _ext.apply(
     wd, stream, np.ascontiguousarray(out))
 
 
+def can_drain() -> bool:
+    """Guard for stale _wave builds predating drain/n_pending (an
+    AttributeError mid-run would otherwise silently degrade the whole
+    run to the host path)."""
+    return _ext is not None and hasattr(_ext, "drain") \
+        and hasattr(_ext, "n_pending")
+
+
 def drain(wd) -> int:
     """Finish every pending (not in-flight) read on the exact scalar
     kernel; returns tasks run. Near-empty tail waves cost a full device

@@ -405,19 +405,25 @@ class BatchAligner:
                 self.opt, self.fm, seqs, all_intvs, sa_flat, dev_flags,
                 qmax, tmax, cap)
         params = buf._params(self.opt)
+        from ..ops.extend_pallas import fits_i16
+        use16 = fits_i16(qmax, int(self.opt.a),
+                         max(self.opt.pen_clip5, self.opt.pen_clip3))
 
         inflight = [0, 0]
+
+        drain_ok = wave_native.can_drain()
 
         def pack_run(si):
             # a near-empty wave costs a full device round trip for a few
             # tasks that run in ~ms on the host scalar kernel: drain those
             # inline instead (CPU+accelerator sharing at wave granularity,
             # the accx_priority analog, kflow/include/kflow/MapStage.h:78)
-            eligible = wave_native.n_pending(wd) - inflight[1 - si]
-            if 0 < eligible <= self.drain_max:
-                with tracer.span("wave.drain"):
-                    wave_native.drain(wd)
-                return None
+            if drain_ok:
+                eligible = wave_native.n_pending(wd) - inflight[1 - si]
+                if 0 < eligible <= self.drain_max:
+                    with tracer.span("wave.drain"):
+                        wave_native.drain(wd)
+                    return None
             with tracer.span("wave.pack"):
                 r = wave_native.pack(wd, si)
             if r is None:
@@ -433,13 +439,10 @@ class BatchAligner:
             width = min(width, cap)
             with tracer.span("wave.dispatch"):
                 from ..ops.chain2aln_jax import narrow_desc
-                from ..ops.extend_pallas import fits_i16
                 out = seed_extend_desc_batch(
                     qmax, tmax, self.smem_L, self.dfm, self._dev_reads,
                     jnp.asarray(narrow_desc(desc[:, :width])), *params,
-                    use16=fits_i16(qmax, int(self.opt.a),
-                                   max(self.opt.pen_clip5,
-                                       self.opt.pen_clip3)))
+                    use16=use16)
                 try:
                     out.copy_to_host_async()
                 except AttributeError:
