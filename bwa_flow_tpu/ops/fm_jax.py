@@ -97,7 +97,11 @@ class DeviceFM(NamedTuple):
             fm_blocks=jnp.asarray(bucket(np.asarray(fm.fm_blocks)),
                                   dtype=jnp.int32),
             sa_intv=jnp.asarray(fm.sa_intv, dtype=jnp.int32),
-            sa=jnp.asarray(bucket(np.asarray(fm.sa)), dtype=jnp.int64),
+            # SA values < seq_len: int32 halves the (Gbp-scale ~0.5 GB)
+            # upload and the walk's final gather for sub-2^31 genomes
+            sa=jnp.asarray(bucket(np.asarray(fm.sa)),
+                           dtype=jnp.int32 if 0 < fm.seq_len < 2**31
+                           else jnp.int64),
             pac_words=jnp.asarray(bucket(pac_words).view(np.int32)),
             l_pac=jnp.asarray(l_pac, dtype=jnp.int64),
         )
@@ -313,7 +317,7 @@ def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
         idx = jnp.clip(k, 0, dfm.sa_dense.shape[0] - 1).astype(jnp.int32)
         return (dfm.sa_dense[idx].astype(jnp.int64),
                 jnp.zeros(k.shape, bool))
-    mask = (dfm.sa_intv - 1).astype(jnp.int64)
+    mask = (dfm.sa_intv - 1).astype(k.dtype)
 
     def cond(state):
         kk, steps, it = state
@@ -324,15 +328,15 @@ def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
         live = (kk & mask) != 0
         kk2 = _inv_psi_batch(dfm, kk)
         kk = jnp.where(live, kk2, kk)
-        steps = steps + live.astype(jnp.int64)
+        steps = steps + live.astype(steps.dtype)
         return kk, steps, it + 1
 
     steps0 = jnp.zeros_like(k)
     kf, steps, _ = jax.lax.while_loop(cond, body, (k, steps0, 0))
     overflow = (kf & mask) != 0
-    idx = (kf // dfm.sa_intv.astype(jnp.int64)).astype(jnp.int64)
+    idx = kf // dfm.sa_intv.astype(k.dtype)
     idx = jnp.clip(idx, 0, dfm.sa.shape[0] - 1)
-    return steps + dfm.sa[idx], overflow
+    return (steps + dfm.sa[idx]).astype(jnp.int64), overflow
 
 
 def _densify_sa(dfm: DeviceFM, fm: FMIndex) -> np.ndarray:

@@ -156,15 +156,20 @@ class BatchAligner:
         # the tunnel pipelines overlapping transfers (~30 ms fixed each,
         # near-free when >= 2 are in flight)
         handles = []
+        # sub-2^31 genomes walk the LF chain in int32 (the TPU emulates
+        # int64) against the narrowed index view
+        narrow = self.fm.seq_len < 2**31
+        dfm_sa = smem_jax._narrow_dfm(self.dfm) if narrow else self.dfm
+        pdt = np.int32 if narrow else np.int64
         for off in range(0, len(rows), self.sa_chunk):
             chunk = rows[off:off + self.sa_chunk]
             # pow2 buckets: few compiled variants, one transfer each way
             width = 4096
             while width < len(chunk):
                 width <<= 1
-            pad = np.zeros(width, dtype=np.int64)
+            pad = np.zeros(width, dtype=pdt)
             pad[:len(chunk)] = chunk
-            out = sa_batch_packed(self.dfm, pad)
+            out = sa_batch_packed(dfm_sa, pad)
             try:
                 out.copy_to_host_async()
             except AttributeError:

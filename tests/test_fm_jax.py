@@ -112,3 +112,20 @@ def test_dense_sa_covers_last_row(small_index):
     want = [fmops.bwt_sa(fm, int(k)) for k in np.asarray(ks)]
     assert not np.asarray(ovf).any()
     assert np.asarray(vals).tolist() == want
+
+
+def test_sa_batch_walk_branch_narrow_and_wide(small_index, rng):
+    """The LF-walk branch (no dense SA — Gbp-scale genomes) in both probe
+    dtypes: int32 (narrowed view, sub-2^31 genomes) and int64. Small test
+    genomes normally carry a dense SA, which hid a dtype bug here."""
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm, dense_sa_max=0)
+    assert dfm.sa_dense is None
+    ks = rng.integers(0, fm.seq_len + 1, size=200)
+    want = np.array([fmops.bwt_sa(fm, int(k)) for k in ks])
+    for dt in (np.int64, np.int32):
+        d = fm_jax._narrow_view(dfm) if dt == np.int32 else dfm
+        sa, ovf = fm_jax.sa_batch(d, jnp.asarray(ks.astype(dt)),
+                                  max_iters=4096)
+        assert not np.asarray(ovf).any()
+        np.testing.assert_array_equal(np.asarray(sa), want)
