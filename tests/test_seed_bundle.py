@@ -94,3 +94,28 @@ def test_wave_full_host_drain_exact(small_index, rng):
         assert got_r.sam == want_r.sam, got_r.name
     assert ba.stats["ext_tasks_device"] == 0
     assert ba.stats["ext_tasks_host"] > 0
+
+
+def test_pipeline_no_dense_sa_probe_path(small_index, rng, monkeypatch):
+    """Gbp-scale configuration on a small genome: no dense SA, so the
+    pipeline resolves SA through the narrowed LF-walk probe path
+    (occ_total = -1 sentinel on every read). Output must stay exact."""
+    import copy
+
+    from bwa_flow_tpu.io.sam import Read
+    from bwa_flow_tpu.models import golden
+    from bwa_flow_tpu.pipeline.batch import BatchAligner
+
+    monkeypatch.setenv("BWA_TPU_DENSE_SA_MAX", "0")
+    fm, contigs = small_index
+    opt = MemOpt()
+    seqs = _reads(rng, contigs, 16)
+    reads = [Read(name=f"p{i}", seq=s, qual="I" * len(s), id=i)
+             for i, s in enumerate(seqs)]
+    want = copy.deepcopy(reads)
+    golden.align_se(opt, fm, want, n_processed=0)
+    ba = BatchAligner(opt, fm, wave_cap=64)
+    assert ba.dfm.sa_dense is None
+    ba.align_se(reads, n_processed=0)
+    for got_r, want_r in zip(reads, want):
+        assert got_r.sam == want_r.sam, got_r.name
