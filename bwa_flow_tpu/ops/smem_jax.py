@@ -726,9 +726,11 @@ def _pack_meta(n_mem, ovf, occ_total):
 
 
 # ragged-bundle sizing: flat mem entries / fused-SA values per read
-# (global pools; a batch-mean above these falls back to a dense refetch)
-CAPM_PER = 16
-CAPO_PER = 12
+# (GLOBAL pools, so only the batch MEAN matters: measured mean ~7.6 and
+# p99 ~9 mems/read at 1% SNPs; a batch-mean above these falls back to a
+# dense refetch — a latency cliff, not a correctness one)
+CAPM_PER = 12
+CAPO_PER = 10
 
 
 def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
