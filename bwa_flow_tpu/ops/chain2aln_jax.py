@@ -327,8 +327,9 @@ class DescTaskBuffer:
         out = seed_extend_desc_batch(
             self.qmax, self.tmax, L_reads, dfm, reads_dev,
             jnp.asarray(narrow_desc(self.desc)), *self._params(opt),
-            use16=fits_i16(self.qmax, int(opt.a),
-                           max(opt.pen_clip5, opt.pen_clip3)))
+            use16=fits_i16(self.qmax, L_reads * int(opt.a),
+                           int(opt.mat.max()),
+                           max(opt.pen_clip5, opt.pen_clip3, 0)))
         try:
             out.copy_to_host_async()
         except AttributeError:

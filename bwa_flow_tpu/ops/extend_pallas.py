@@ -448,10 +448,12 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
     return kernel
 
 
-def fits_i16(qmax: int, max_mat: int, end_bonus: int) -> bool:
+def fits_i16(qmax: int, h0max: int, max_mat: int, end_bonus: int) -> bool:
     """True when every DP row value is bounded inside int16 for this
-    scoring: scores <= (qmax+1)*max_mat + end_bonus and the F-scan offset
-    ramp stays above NEG16.
+    scoring: cells are at most h0max (the largest starting score a task
+    can carry, seed_len*a <= smem_L*a in the wave path) plus
+    (qmax+2)*max_mat of match gain plus the end bonus, and the F-scan
+    offset ramp stays above NEG16.
 
     PARKED off by default: the int16 kernel is exact under the Pallas
     interpreter (see /tmp-free fuzz in tests) but the current Mosaic
@@ -461,7 +463,8 @@ def fits_i16(qmax: int, max_mat: int, end_bonus: int) -> bool:
     import os
     if not os.environ.get("BWA_TPU_EXTEND16"):
         return False
-    return (qmax + 2) * max(max_mat, 1) + end_bonus < (1 << 13) - 256
+    return h0max + (qmax + 2) * max(max_mat, 1) + max(end_bonus, 0) \
+        < (1 << 13) - 256
 
 
 def _extend_pallas(qmax: int, tmax: int, tile: int, interpret: bool,

@@ -824,6 +824,10 @@ def _start_fetch(arr):
 
 _NARROW_CACHE: dict = {}
 
+# Test hook: force the wide (int64) machine even for sub-2^31 genomes so
+# the human-scale path stays covered by small-genome unit tests.
+FORCE_WIDE = False
+
 
 def _narrow_dfm(dfm: DeviceFM) -> DeviceFM:
     """Cached int32-coordinate view of a sub-2^31 index (the astype ops
@@ -837,6 +841,12 @@ def _narrow_dfm(dfm: DeviceFM) -> DeviceFM:
     if got is None or got[0] is not dfm:
         got = (dfm, _narrow_view(dfm))
         _NARROW_CACHE[key] = got
+        # bounded: keeping every DeviceFM ever narrowed would pin GBs of
+        # device memory for process lifetime in index-reloading services;
+        # a size-2 LRU covers the realistic case (old + new index during
+        # a swap)
+        while len(_NARROW_CACHE) > 2:
+            _NARROW_CACHE.pop(next(iter(_NARROW_CACHE)))
     return got[1]
 
 
@@ -866,7 +876,7 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
                   jnp.asarray(opt.max_occ, I64))
         _OPT_CACHE[key] = params
     H = min(SEED_HEAD, MAXM)
-    narrow = fm.seq_len < 2**31 and L < 32768
+    narrow = fm.seq_len < 2**31 and L < 32768 and not FORCE_WIDE
     out = collect_intv_device(
         _narrow_dfm(dfm) if narrow else dfm, L, MAXB, MAXM,
         L * iters_factor, q_dev, qlen_dev, *params,
@@ -1011,7 +1021,10 @@ def seed_collect(handle: dict, fetch=np.asarray
     if info is not None:
         n_mem, redo = info
         used = int(n_mem.max()) if len(n_mem) else 0
-        width = 1
+        # start the bucket search where seed_collect_batch does so the
+        # refetch reuses existing _mems_slice shape variants instead of
+        # compiling 1/2/4/8-wide ones no other path uses
+        width = min(SEED_HEAD, handle["MAXM"])
         while width < max(used, 1):
             width <<= 1
         width = min(width, handle["MAXM"])

@@ -158,7 +158,7 @@ class BatchAligner:
         handles = []
         # sub-2^31 genomes walk the LF chain in int32 (the TPU emulates
         # int64) against the narrowed index view
-        narrow = self.fm.seq_len < 2**31
+        narrow = self.fm.seq_len < 2**31 and not smem_jax.FORCE_WIDE
         dfm_sa = smem_jax._narrow_dfm(self.dfm) if narrow else self.dfm
         pdt = np.int32 if narrow else np.int64
         for off in range(0, len(rows), self.sa_chunk):
@@ -411,8 +411,11 @@ class BatchAligner:
                 qmax, tmax, cap)
         params = buf._params(self.opt)
         from ..ops.extend_pallas import fits_i16
-        use16 = fits_i16(qmax, int(self.opt.a),
-                         max(self.opt.pen_clip5, self.opt.pen_clip3))
+        # h0 of a wave task is seed_len*a <= smem_L*a; the match gain is
+        # bounded by the true matrix max, not opt.a (ADVICE r2)
+        use16 = fits_i16(qmax, self.smem_L * int(self.opt.a),
+                         int(self.opt.mat.max()),
+                         max(self.opt.pen_clip5, self.opt.pen_clip3, 0))
 
         inflight = [0, 0]
 

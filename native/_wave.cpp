@@ -415,6 +415,55 @@ void advance(Driver& D, ReadState& R) {
   }
 }
 
+// Structural validation of one device result row — the processOutput
+// analog (/root/reference/src/fpga/FPGAPipeline.cpp:29-130): every wave
+// result is range-checked against its task's shape before being applied,
+// at negligible cost and ON by default. Bounds follow the exact
+// ksw_extend2 contract (ops/ksw.py): score in [h0, h0 + qlen*max_mat]
+// (end_bonus only caps the band, it never enters the in-kernel max),
+// qle in [0, qlen], tle/gtle in [0, tlen], and a degenerate side (qlen 0)
+// returns exactly (h0, 0, 0, ...). A violating row can only come from a
+// corrupted kernel/transfer; the caller raises and the pipeline degrades
+// to the host path (setUseAccx(false) analog).
+bool row_ok(const Driver& D, const ReadState& R, const int32_t* row) {
+  const Opt& o = D.opt;
+  int64_t amax = 0;
+  for (int i = 0; i < 25; ++i)
+    amax = std::max(amax, (int64_t)o.mat[i]);
+  const Seed& s = R.cur;
+  bool has_left = s.qbeg > 0;
+  bool has_right = s.qbeg + s.len != R.l_query;
+  int64_t ls = row[0], lq = row[1], lt = row[2], lg = row[3], lmo = row[5];
+  int64_t rs = row[6], rq = row[7], rt = row[8], rg = row[9], rmo = row[11];
+  int64_t qlen_l = s.qbeg, tlen_l = s.rbeg - R.rmax0;
+  int64_t qlen_r = R.l_query - (s.qbeg + s.len);
+  int64_t tlen_r = R.rmax1 - (s.rbeg + s.len);
+  int64_t h0 = (int64_t)s.len * o.a;
+  int64_t h0r;
+  if (R.stage == 2) {
+    h0r = R.lfinal[0];  // left half saved; row's left fields are unused
+  } else {
+    if (has_left) {
+      if (lq < 0 || lq > qlen_l || lt < 0 || lt > tlen_l) return false;
+      if (lg < 0 || lg > tlen_l) return false;
+      if (ls < h0 || ls > h0 + qlen_l * amax) return false;
+      if (lmo < 0 || lmo > std::max(qlen_l, tlen_l)) return false;
+    } else if (ls != h0 || lq != 0 || lt != 0) {
+      return false;
+    }
+    h0r = ls;
+  }
+  if (has_right) {
+    if (rq < 0 || rq > qlen_r || rt < 0 || rt > tlen_r) return false;
+    if (rg < 0 || rg > tlen_r) return false;
+    if (rs < h0r || rs > h0r + qlen_r * amax) return false;
+    if (rmo < 0 || rmo > std::max(qlen_r, tlen_r)) return false;
+  } else if (rs != h0r || rq != 0 || rt != 0) {
+    return false;
+  }
+  return true;
+}
+
 // apply one device row (handle() in pipeline/batch.py): returns true if
 // the read needs re-packing (band retry), false when the task finished
 bool handle_row(Driver& D, ReadState& R, const int32_t* row) {
@@ -664,6 +713,7 @@ PyObject* py_apply(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "apply: result narrower than wave");
     return nullptr;
   }
+  int64_t bad = -1;
   Py_BEGIN_ALLOW_THREADS
   for (size_t i = 0; i < slots.size(); ++i) {
     ReadState& R = D->reads[slots[i]];
@@ -671,10 +721,20 @@ PyObject* py_apply(PyObject*, PyObject* args) {
     int32_t row[OUT_ROWS];
     for (int f = 0; f < OUT_ROWS; ++f)
       row[f] = out[(int64_t)f * width + (int64_t)i];
+    if (!row_ok(*D, R, row)) {
+      bad = (int64_t)slots[i];
+      break;
+    }
     handle_row(*D, R, row);
   }
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&ob);
+  if (bad >= 0) {
+    PyErr_Format(PyExc_ValueError,
+                 "apply: structurally invalid device result for read %lld "
+                 "(corrupted wave)", (long long)bad);
+    return nullptr;
+  }
   Py_RETURN_NONE;
 }
 

@@ -84,3 +84,26 @@ def test_collect_intv_all_n_read(small_index):
     reads = [np.full(50, 4, dtype=np.uint8)]
     got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128)
     assert got[0] == []
+
+
+def test_collect_intv_wide_path_matches_golden(small_index, rng):
+    """The int64 (wide) machine — the human-scale >=2^31 path — forced on
+    a small genome via the FORCE_WIDE hook (ADVICE r2: every test genome
+    is sub-2^31, so without this the wide machine and the INFO_SHIFT=32
+    dense-collect branch would only ever run at human scale)."""
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    reads = _sample_reads(rng, contigs, 24)
+    smem_jax.FORCE_WIDE = True
+    try:
+        h = smem_jax.seed_dispatch(opt, fm, dfm, reads, L=128)
+        assert "packed" not in h, "wide path must not take the narrow " \
+            "packed-bundle branch"
+        got = smem_jax.seed_collect(h)
+    finally:
+        smem_jax.FORCE_WIDE = False
+    for b, r in enumerate(reads):
+        want = smem_golden.collect_intv(opt, fm, r)
+        assert sorted(_mems_key(got[b])) == sorted(_mems_key(want)), \
+            f"read {b}: {len(got[b])} vs {len(want)} mems"

