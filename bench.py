@@ -57,9 +57,17 @@ for _i, _c in enumerate(b"ACGT"):
 
 
 def get_index():
-    npz = CACHE / f"bench_index_{GENOME_LEN}.npz"
-    rng = np.random.default_rng(0xBE7C)
-    genome = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, GENOME_LEN)]
+    """Repeat-realistic bench genome (round-2 verdict task 9): the
+    reference benches exclusively on human (test/test-config.sh:6), never
+    uniform-random DNA, and uniform-random genomes under-price max_occ /
+    re-seed / chain-filter work. tools/build_ref.py plants SINE/LINE-like
+    dispersed families and tandem arrays at human-like fractions."""
+    sys.path.insert(0, str(ROOT / "tools"))
+    from build_ref import make_genome
+    npz = CACHE / f"bench_index_rep_{GENOME_LEN}.npz"
+    g = make_genome(GENOME_LEN, 0xBE7C, n_islands=2)
+    g[g == 4] = 0  # N islands off the 2 Mbp fixture (kept at Gbp scale)
+    genome = np.frombuffer(b"ACGT", np.uint8)[g]
     if npz.exists():
         d = np.load(npz)
         bns = ReferenceMeta(
@@ -160,19 +168,23 @@ def bench_smem(rng, genome, fm, dfm, opt):
     return B_SMEM / dt
 
 
-def bench_e2e(rng, genome, fm, opt):
-    """End-to-end SE through the full dataflow pipeline (device stages +
-    host worker pool), the production path of `bwa_flow_tpu mem`."""
-    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
-
+def make_se_reads(rng, genome, n):
     reads = []
-    for i in range(N_E2E):
+    for i in range(n):
         pos = int(rng.integers(0, len(genome) - READ_LEN))
         r = CODE[genome[pos:pos + READ_LEN]].astype(np.int32)
         m = rng.random(READ_LEN) < 0.01
         r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
         reads.append(Read(name=f"r{i}", seq=r.astype(np.uint8),
                           qual="I" * READ_LEN, id=i))
+    return reads
+
+
+def bench_e2e(rng, genome, fm, opt, reads):
+    """End-to-end SE through the full dataflow pipeline (device stages +
+    host worker pool), the production path of `bwa_flow_tpu mem`."""
+    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+
     n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
     pipe = AlignPipeline(opt, fm, paired=False, n_workers=n_workers,
                          aligner_kw=dict(smem_L=SMEM_L, wave_cap=BATCH,
@@ -248,25 +260,66 @@ def bench_e2e_pe(rng, genome, fm, opt):
     return len(reads) / dt
 
 
-def bench_e2e_gbp(opt):
-    """Human-scale axis: SE e2e on a 1 Gbp stock `bwa index` genome when
-    the cached artifacts exist (.cache/gbp, built once by the real bwa
-    binary). int64 SA probes walk the sampled SA on device (no dense-SA
-    densification at this scale); everything else is the same production
-    pipeline. Returns None when the index is absent."""
-    pfx = CACHE / "gbp" / "ref.fa"
-    if not (CACHE / "gbp" / "ref.fa.sa").exists():
+def bench_real_bwa(rng, genome, reads):
+    """Time the REAL bwa binary (the vendored reference core built by
+    tests/oracle.py) single-threaded on the same genome + reads — the
+    honest vs_baseline denominator (round-2 verdict task 2: the repo's
+    own NumPy golden at ~48 reads/s implied a fantasy 313x; the bar is
+    the genuine C implementation, benchmarks/run.sh:1-44)."""
+    import subprocess
+    sys.path.insert(0, str(ROOT))
+    from tests.oracle import build_oracle
+    bwa = build_oracle()
+    if bwa is None:
+        return None
+    d = CACHE / "realbwa"
+    d.mkdir(exist_ok=True)
+    fa = d / "ref.fa"
+    if not (d / "ref.fa.sa").exists():
+        with open(fa, "w") as f:
+            f.write(">chr1\n")
+            s = genome.tobytes().decode()
+            for i in range(0, len(s), 80):
+                f.write(s[i:i + 80] + "\n")
+        subprocess.run([str(bwa), "index", str(fa)], check=True,
+                       capture_output=True)
+    fq = d / "reads.fq"
+    n = min(8192, len(reads))
+    with open(fq, "w") as f:
+        for r in reads[:n]:
+            seq = "".join("ACGTN"[int(c)] for c in r.seq)
+            f.write(f"@{r.name}\n{seq}\n+\n{r.qual}\n")
+    # warm run (page cache / index file), then the timed run
+    subprocess.run([str(bwa), "mem", "-t1", str(fa), str(fq)],
+                   check=True, capture_output=True)
+    t0 = time.time()
+    subprocess.run([str(bwa), "mem", "-t1", str(fa), str(fq)],
+                   check=True, capture_output=True)
+    dt = time.time() - t0
+    return n / dt
+
+
+def bench_e2e_big(opt, subdir, tag, n=8192):
+    """Large-genome axis: SE e2e on stock `bwa index` artifacts when the
+    cached fixtures exist (.cache/gbp = 1 Gbp, int32 machine;
+    .cache/human = 3.1 Gbp, seq_len 6.2e9 > 2^31, the int64 machine —
+    the reference's operating point is human_g1k_v37,
+    /root/reference/src/preprocess.cpp:325). Per-stage spans are printed
+    (round-2 verdict task 1: no breakdown was recorded for the Gbp run).
+    Returns None when the index is absent."""
+    pfx = CACHE / subdir / "ref.fa"
+    if not (CACHE / subdir / "ref.fa.sa").exists():
         return None
     from bwa_flow_tpu.index.io import load_index
     from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+    from bwa_flow_tpu.utils.trace import GLOBAL as tr
     t0 = time.time()
     fm = load_index(str(pfx))
-    print(f"# gbp index load: {time.time()-t0:.1f}s "
+    print(f"# {tag} index load: {time.time()-t0:.1f}s "
           f"(seq_len={fm.seq_len})", file=sys.stderr)
     pac = fm.bns.pac
     rng = np.random.default_rng(11)
     reads = []
-    n = 8192
     # sample inside the first contig (no chimeric junction reads), from a
     # window bounded by both the contig and the pac
     a0 = fm.bns.anns[0]
@@ -286,6 +339,8 @@ def bench_e2e_gbp(opt):
     done = []
     try:
         pipe.run(iter([reads[:4096]]), done.extend)  # warm/compile
+        tr.totals.clear()
+        tr.counts.clear()
         dt = float("inf")
         for _ in range(2):
             done.clear()
@@ -296,6 +351,9 @@ def bench_e2e_gbp(opt):
     finally:
         pipe.close()
     assert len(done) == n
+    print(f"# {tag} spans:\n" + tr.report(), file=sys.stderr)
+    tr.totals.clear()
+    tr.counts.clear()
     return n / dt
 
 
@@ -327,7 +385,8 @@ def main():
           f"({ext_dt*1e3:.1f} ms / {B_EXT} tasks)", file=sys.stderr)
     smem_rps = bench_smem(rng, genome, fm, dfm, opt)
     print(f"# smem seeding: {smem_rps:.0f} reads/s", file=sys.stderr)
-    e2e_rps, stats = bench_e2e(rng, genome, fm, opt)
+    reads = make_se_reads(rng, genome, N_E2E)
+    e2e_rps, stats = bench_e2e(rng, genome, fm, opt, reads)
     print(f"# e2e: {e2e_rps:.0f} reads/s  {stats}", file=sys.stderr)
     from bwa_flow_tpu.utils.trace import GLOBAL as _tr
     print("# SE spans:\n" + _tr.report(), file=sys.stderr)
@@ -336,28 +395,58 @@ def main():
     pe_rps = bench_e2e_pe(rng, genome, fm, opt)
     print(f"# e2e PE: {pe_rps:.0f} reads/s", file=sys.stderr)
     print("# PE spans:\n" + _tr.report(), file=sys.stderr)
+    _tr.totals.clear()
+    _tr.counts.clear()
     host_rps = bench_host_oracle(rng, genome, fm, opt)
     print(f"# host golden (1 core): {host_rps:.1f} reads/s", file=sys.stderr)
     try:
-        gbp_rps = bench_e2e_gbp(opt)
+        real_rps = bench_real_bwa(rng, genome, reads)
+    except Exception as e:
+        print(f"# real bwa bench failed: {e!r}", file=sys.stderr)
+        real_rps = None
+    if real_rps:
+        print(f"# real bwa mem -t1 (1 core): {real_rps:.0f} reads/s",
+              file=sys.stderr)
+    try:
+        gbp_rps = bench_e2e_big(opt, "gbp", "e2e 1Gbp")
     except Exception as e:   # the headline metrics must survive a Gbp
         print(f"# e2e 1Gbp genome failed: {e!r}", file=sys.stderr)
         gbp_rps = None       # index/load/compile hiccup
     if gbp_rps:
         print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s", file=sys.stderr)
+    try:
+        human_rps = bench_e2e_big(opt, "human", "e2e 3.1Gbp")
+    except Exception as e:
+        print(f"# e2e 3.1Gbp genome failed: {e!r}", file=sys.stderr)
+        human_rps = None
+    if human_rps:
+        print(f"# e2e 3.1Gbp genome (int64 machine): {human_rps:.0f} "
+              "reads/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "e2e_se_reads_per_s",
         "value": round(e2e_rps, 1),
         "unit": "reads/s/chip",
-        "vs_baseline": round(e2e_rps / host_rps, 1) if host_rps else None,
+        # honest multiple: the REAL bwa binary, single core, same
+        # genome + reads (falls back to the NumPy golden if unbuildable)
+        "vs_baseline": round(e2e_rps / real_rps, 1) if real_rps
+        else round(e2e_rps / host_rps, 1) if host_rps else None,
         "extra": {
             "e2e_pe_reads_per_s": round(pe_rps, 1),
             "banded_sw_extend_gcups": round(gcups, 3),
             "smem_seed_reads_per_s": round(smem_rps, 1),
+            "real_bwa_reads_per_s": round(real_rps, 1) if real_rps
+            else None,
+            "vs_real_bwa_1core": round(e2e_rps / real_rps, 1) if real_rps
+            else None,
             "host_golden_reads_per_s": round(host_rps, 2),
+            "vs_host_golden": round(e2e_rps / host_rps, 1) if host_rps
+            else None,
             "host_oracle_gcups": round(cpu_gcups, 4),
             "e2e_gbp_reads_per_s": round(gbp_rps, 1) if gbp_rps else None,
+            "e2e_human_3gbp_reads_per_s": round(human_rps, 1)
+            if human_rps else None,
+            "genome": "repeat-realistic (28% SINE, 12% LINE, 4% tandem)",
             "read_len": READ_LEN,
             "n_reads": N_E2E,
         },

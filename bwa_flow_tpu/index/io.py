@@ -16,6 +16,10 @@ from .fmindex import Amb, Annotation, FMIndex, ReferenceMeta
 
 OCC_INTERVAL = 128  # bwa/bwt.h:36
 
+# genomes at or below this seq_len get a fully dense device SA instead
+# (ops/fm_jax._densify_sa); only larger ones re-sample (tests lower it)
+RESAMPLE_MIN = 1 << 28
+
 
 _BYTE_LUT = np.empty((256, 4), dtype=np.uint8)
 for _b in range(256):
@@ -198,6 +202,7 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
                      L2=d["L2"], fm_blocks=d["fm_blocks"],
                      sa_intv=int(d["sa_intv"]), sa=d["sa"], bns=bns)
         _apply_alt(prefix, bns, ignore_alt)
+        _resample_sa(fm, prefix, use_cache)
         return fm
     bwt_u8, primary, L2 = read_bwt(prefix + ".bwt")
     seq_len = int(L2[4])
@@ -213,7 +218,69 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
                      sa_intv=fm.sa_intv, sa=fm.sa)
         except OSError:
             pass  # read-only index dir: skip the cache
+    _resample_sa(fm, prefix, use_cache)
     return fm
+
+
+def _resample_sa(fm: FMIndex, prefix: str | None, use_cache: bool) -> None:
+    """Densify the sampled SA of a large genome in place (native
+    LF-orbit enumeration, native/_native.cpp sa_resample).
+
+    bwa ships sa_intv=32, so every SA lookup walks ~16 LF steps; at Gbp
+    scale those walks dominate device seeding (each step is one HBM row
+    gather, the measured unit of cost). Sub-2^28 genomes already get a
+    fully dense device SA (ops/fm_jax._densify_sa); here the target
+    interval is the smallest of 4/8/16 whose table fits
+    BWA_TPU_SA_BYTES (default ~3.5 GB — 1 Gbp lands on intv 4 as int32,
+    human scale on intv 16 as int64). Set BWA_TPU_SA_BYTES=0 to disable.
+    The result is cached beside the artifacts as <prefix>.tpu.sa<N>.npy.
+    The denser table serves both the device walk and host fallbacks;
+    stock-format .sa round-trips are unaffected (save_index writes
+    whatever interval fm carries, and the format admits any power of 2).
+    """
+    budget = int(os.environ.get("BWA_TPU_SA_BYTES", 7 << 29))
+    if budget <= 0 or fm.seq_len <= RESAMPLE_MIN:
+        return
+    try:
+        from .. import _native
+    except ImportError:
+        return
+    if not hasattr(_native, "sa_resample"):
+        return
+    itemsize = 4 if fm.seq_len < 2**31 else 8
+    for intv in (4, 8, 16):
+        if intv >= fm.sa_intv:
+            return
+        if (fm.seq_len // intv + 1) * itemsize <= budget:
+            break
+    else:
+        return
+    cachef = f"{prefix}.tpu.sa{intv}.npy" if prefix else None
+    if (cachef and use_cache and os.path.exists(cachef)
+            and os.path.getmtime(cachef) >= os.path.getmtime(
+                prefix + ".bwt")):
+        fm.sa = np.load(cachef).astype(np.int64)
+        fm.sa_intv = intv
+        return
+    import time
+    t0 = time.time()
+    raw = _native.sa_resample(
+        np.ascontiguousarray(fm.fm_blocks),
+        np.ascontiguousarray(fm.L2, np.int64), int(fm.primary),
+        int(fm.seq_len), np.ascontiguousarray(fm.sa, np.int64),
+        int(fm.sa_intv), intv, os.cpu_count() or 4)
+    sa_new = np.frombuffer(raw, np.int64)
+    import sys
+    print(f"[M::index] resampled SA {fm.sa_intv} -> {intv} "
+          f"({time.time()-t0:.1f}s)", file=sys.stderr)
+    if cachef and use_cache:
+        try:
+            np.save(cachef, sa_new.astype(np.int32) if itemsize == 4
+                    else sa_new)
+        except OSError:
+            pass
+    fm.sa = sa_new.astype(np.int64, copy=False)
+    fm.sa_intv = intv
 
 
 def _apply_alt(prefix: str, bns: ReferenceMeta, ignore_alt: bool) -> None:

@@ -285,13 +285,37 @@ def bwt_b0_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
 
 
 def _inv_psi_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
-    """LF-mapping step (bwa/bwt.c:53-59). int64[...] -> int64[...]."""
-    x = k - (k > dfm.primary).astype(k.dtype)
-    c = bwt_b0_batch(dfm, x)
+    """LF-mapping step (bwa/bwt.c:53-59). int64[...] -> int64[...].
+
+    Fused single-gather formulation: for k != primary the symbol position
+    x = k - (k > primary) equals the occ row kk = k - (k >= primary), so
+    ONE fm_blocks row gather yields both the BWT symbol c and occ(k, c)
+    (the row's counts + a popcount over its first off+1 slots). The naive
+    bwt_b0_batch + occ_batch pair costs two gathers per walk step, and
+    the gather row count IS the measured cost of the LF walk (~9-12
+    ns/row regardless of width). k == seq_len also fuses: counting the
+    whole final row equals the L2 end total. k == primary is overridden
+    to 0 as in bwa; k == -1 never occurs in SA walks."""
+    kk = k - (k >= dfm.primary).astype(k.dtype)
+    kk = jnp.clip(kk, 0, dfm.seq_len - 1)
+    blk = (kk // BLOCK).astype(jnp.int32)
+    off = (kk % BLOCK).astype(jnp.int32)
+    counts, words = _row_words(dfm, blk)
+    # symbol at slot `off` of this row
+    wsel = off >> 4
+    word = words[..., 0]
+    for ww in range(1, 4):
+        word = jnp.where(wsel == ww, words[..., ww], word)
+    shift = ((15 - (off & 15)) << 1).astype(jnp.uint32)
+    c = ((word >> shift) & 3).astype(jnp.int32)
+    # occ(k, c) = counts[c] + #c among the first off+1 slots; L2[c]
+    base = counts[..., 0]
     l2 = jnp.full_like(k, dfm.L2[0])
     for cc in range(1, 4):
+        base = jnp.where(c == cc, counts[..., cc], base)
         l2 = jnp.where(c == cc, dfm.L2[cc], l2)
-    lf = l2 + occ_batch(dfm, k, c)
+    cnt = _count_slots(words, c, off + 1)
+    lf = l2 + base.astype(k.dtype) + cnt
     return jnp.where(k == dfm.primary, 0, lf)
 
 

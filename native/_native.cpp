@@ -13,8 +13,10 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "ksw_impl.h"
@@ -25,10 +27,6 @@ using bwaflow::Ext2Result;
 using bwaflow::ksw_extend2;
 using bwaflow::ksw_global2;
 
-// ---------------------------------------------------------------------
-// Python bindings
-// ---------------------------------------------------------------------
-
 bool get_u8(PyObject* obj, Py_buffer* view, const char* name) {
   if (PyObject_GetBuffer(obj, view, PyBUF_SIMPLE) != 0) {
     PyErr_Format(PyExc_TypeError, "%s: expected a contiguous buffer", name);
@@ -36,6 +34,160 @@ bool get_u8(PyObject* obj, Py_buffer* view, const char* name) {
   }
   return true;
 }
+
+// ---------------------------------------------------------------------
+// SA re-sampling: densify the sampled suffix array by enumerating the
+// full LF orbit from the stock samples.
+//
+// bwa ships sa_intv=32 (bwa/bwtindex.c), so every SA lookup walks ~16
+// LF steps — at Gbp scale those walks dominate the device seeding cost
+// (each step is one HBM row gather). A denser sample (intv 4-16) costs
+// host RAM/HBM instead. Rather than walking per target row (~intv_old
+// steps per target), this enumerates: the LF map is a single cycle over
+// all seq_len+1 rows; the stock samples cut it into arcs of expected
+// length intv_old. Each arc start has a known SA value (row 0's value
+// is seq_len: inv_psi(primary)=0, so row 0 precedes value seq_len-1 on
+// the cycle; bwa's stored sentinel sa[0]=-1 is re-applied at the end),
+// values decrement along LF, and every row is visited EXACTLY ONCE —
+// seq_len+1 total fused-LF steps for any target interval. Arcs are
+// pulled from an atomic queue by K-way interleaved walkers per thread
+// (independent chains → overlapping cache misses).
+// ---------------------------------------------------------------------
+
+struct FMView {
+  const int32_t* blocks;  // [n_blocks, 8]
+  const int64_t* L2;      // [5]
+  int64_t primary;
+  int64_t seq_len;
+};
+
+// LF step, exact bwa/bwt.c:53-59 semantics (ops/fm.py inv_psi; the
+// symbol row and the occ row coincide for k != primary, so one 32-byte
+// row read serves both)
+inline int64_t inv_psi1(const FMView& f, int64_t k) {
+  if (k == f.primary) return 0;
+  int64_t kk = k - (k >= f.primary);
+  const int32_t* row = f.blocks + (kk >> 6) * 8;
+  int off = (int)(kk & 63);
+  const uint32_t* words = (const uint32_t*)(row + 4);
+  uint32_t word = words[off >> 4];
+  int c = (int)((word >> ((15 - (off & 15)) << 1)) & 3u);
+  uint32_t pat = (uint32_t)c * 0x55555555u;
+  int64_t cnt = (int64_t)(uint32_t)row[c];
+  int n = off + 1;
+  int w = 0;
+  while (n >= 16) {
+    uint32_t x = ~(words[w] ^ pat);
+    cnt += __builtin_popcount(x & (x >> 1) & 0x55555555u);
+    ++w;
+    n -= 16;
+  }
+  if (n > 0) {
+    uint32_t x = ~(words[w] ^ pat);
+    uint32_t hits = x & (x >> 1) & 0x55555555u;
+    uint32_t keep = ~((1u << (2 * (16 - n))) - 1);  // first n = top 2n bits
+    cnt += __builtin_popcount(hits & keep);
+  }
+  return f.L2[c] + cnt;
+}
+
+void resample_worker(const FMView f, const int64_t* sa_old,
+                     int64_t n_lanes, int64_t old_intv, int64_t new_intv,
+                     int64_t* out, std::atomic<int64_t>* next_lane) {
+  constexpr int K = 16;  // interleaved arcs: overlapping HBM-miss chains
+  int64_t row[K], val[K];
+  bool live[K];
+  int n_live = 0;
+  auto refill = [&](int j) {
+    int64_t i = next_lane->fetch_add(1, std::memory_order_relaxed);
+    if (i >= n_lanes) {
+      live[j] = false;
+      return false;
+    }
+    row[j] = i * old_intv;
+    val[j] = (i == 0) ? f.seq_len : sa_old[i];
+    live[j] = true;
+    return true;
+  };
+  for (int j = 0; j < K; ++j) n_live += refill(j) ? 1 : 0;
+  int64_t mask_new = new_intv - 1, mask_old = old_intv - 1;
+  while (n_live > 0) {
+    for (int j = 0; j < K; ++j) {
+      if (!live[j]) continue;
+      int64_t kk = row[j] - (row[j] >= f.primary);
+      __builtin_prefetch(f.blocks + (kk >> 6) * 8);
+    }
+    for (int j = 0; j < K; ++j) {
+      if (!live[j]) continue;
+      if ((row[j] & mask_new) == 0) out[row[j] / new_intv] = val[j];
+      int64_t nr = inv_psi1(f, row[j]);
+      --val[j];
+      if ((nr & mask_old) == 0) {  // next arc belongs to another lane
+        if (!refill(j)) --n_live;
+      } else {
+        row[j] = nr;
+      }
+    }
+  }
+}
+
+// sa_resample(fm_blocks int32 buf, L2 int64[5] buf, primary LL,
+//             seq_len LL, sa_old int64 buf, old_intv i, new_intv i,
+//             n_threads i) -> bytes(int64[seq_len//new_intv + 1])
+PyObject* py_sa_resample(PyObject*, PyObject* args) {
+  PyObject *blocks_o, *l2_o, *sa_o;
+  long long primary, seq_len;
+  int old_intv, new_intv, n_threads;
+  if (!PyArg_ParseTuple(args, "OOLLOiii", &blocks_o, &l2_o, &primary,
+                        &seq_len, &sa_o, &old_intv, &new_intv, &n_threads))
+    return nullptr;
+  Py_buffer bb, lb, sb;
+  if (!get_u8(blocks_o, &bb, "fm_blocks")) return nullptr;
+  if (!get_u8(l2_o, &lb, "L2")) { PyBuffer_Release(&bb); return nullptr; }
+  if (!get_u8(sa_o, &sb, "sa")) {
+    PyBuffer_Release(&bb);
+    PyBuffer_Release(&lb);
+    return nullptr;
+  }
+  if (new_intv <= 0 || old_intv <= 0 || (new_intv & (new_intv - 1)) ||
+      (old_intv & (old_intv - 1)) || old_intv % new_intv != 0) {
+    PyBuffer_Release(&bb); PyBuffer_Release(&lb); PyBuffer_Release(&sb);
+    PyErr_SetString(PyExc_ValueError,
+                    "sa_resample: intervals must be pow2, new | old");
+    return nullptr;
+  }
+  FMView f{(const int32_t*)bb.buf, (const int64_t*)lb.buf,
+           (int64_t)primary, (int64_t)seq_len};
+  const int64_t* sa_old = (const int64_t*)sb.buf;
+  int64_t n_lanes = (int64_t)(sb.len / 8);
+  int64_t n_new = seq_len / new_intv + 1;
+  PyObject* out_b = PyBytes_FromStringAndSize(nullptr,
+                                              (Py_ssize_t)(n_new * 8));
+  if (!out_b) {
+    PyBuffer_Release(&bb); PyBuffer_Release(&lb); PyBuffer_Release(&sb);
+    return nullptr;
+  }
+  int64_t* out = (int64_t*)PyBytes_AS_STRING(out_b);
+  Py_BEGIN_ALLOW_THREADS
+  std::atomic<int64_t> next_lane{0};
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; ++t)
+    ths.emplace_back(resample_worker, f, sa_old, n_lanes,
+                     (int64_t)old_intv, (int64_t)new_intv, out,
+                     &next_lane);
+  for (auto& th : ths) th.join();
+  out[0] = -1;  // bwa sentinel (bwa/bwt.c:83)
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&bb);
+  PyBuffer_Release(&lb);
+  PyBuffer_Release(&sb);
+  return out_b;
+}
+
+// ---------------------------------------------------------------------
+// Python bindings
+// ---------------------------------------------------------------------
 
 PyObject* py_extend2(PyObject*, PyObject* args) {
   int qlen, tlen, m, o_del, e_del, o_ins, e_ins, w, end_bonus, zdrop, h0;
@@ -128,6 +280,8 @@ PyMethodDef methods[] = {
      "local alignment with sub-score (exact golden semantics)"},
     {"ksw_global2", py_global2, METH_VARARGS,
      "banded global alignment + CIGAR (exact golden semantics)"},
+    {"sa_resample", py_sa_resample, METH_VARARGS,
+     "densify a sampled SA by LF-orbit enumeration (multithreaded)"},
     {nullptr, nullptr, 0, nullptr}};
 
 struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_native",

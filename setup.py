@@ -16,7 +16,8 @@ setup(
         Extension(
             "bwa_flow_tpu._native",
             sources=["native/_native.cpp"],
-            extra_compile_args=["-O3", "-std=c++17"],
+            extra_compile_args=["-O3", "-std=c++17", "-pthread"],
+            extra_link_args=["-pthread"],
         ),
         Extension(
             "bwa_flow_tpu._chain",

@@ -154,3 +154,36 @@ def test_pac_roundtrip_and_nfill(tmp_path, rng):
     # holes record original N positions
     h = bns.ambs[0]
     assert h.amb == "N"
+
+
+def test_sa_resample_on_load(tmp_path, rng, monkeypatch):
+    """Large-genome SA densification (round-3): load_index re-samples the
+    stock sa_intv=32 table via native LF-orbit enumeration; every SA
+    value the denser table serves must equal the stock walk's."""
+    import pytest
+    from bwa_flow_tpu import index as _  # noqa: F401
+    from bwa_flow_tpu.index import io as idx_io
+    from bwa_flow_tpu.index.build import build_index
+    from bwa_flow_tpu.ops import fm as fmops
+    try:
+        from bwa_flow_tpu import _native
+    except ImportError:
+        pytest.skip("native extension not built")
+    if not hasattr(_native, "sa_resample"):
+        pytest.skip("stale native build")
+    genome = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 120000)]
+    fm = build_index([("chr1", "", genome.tobytes())])
+    pfx = str(tmp_path / "ref")
+    idx_io.save_index(pfx, fm)
+    monkeypatch.setattr(idx_io, "RESAMPLE_MIN", 1)  # force on small genome
+    fm2 = idx_io.load_index(pfx)
+    assert fm2.sa_intv < fm.sa_intv
+    assert fm2.sa[0] == -1
+    # denser table must agree with the stock walk everywhere
+    for j in rng.integers(1, len(fm2.sa), 512):
+        k = int(j) * fm2.sa_intv
+        assert int(fm2.sa[int(j)]) == fmops.bwt_sa(fm, k)
+    # cache file round-trips
+    fm3 = idx_io.load_index(pfx)
+    assert fm3.sa_intv == fm2.sa_intv
+    assert (fm3.sa == fm2.sa).all()
