@@ -214,10 +214,18 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
         return reads_flat[idx].reshape(T, -1).astype(i32)
 
     # left: query[qbeg-1-j], target pac[rbeg-1-j], lengths qbeg / rbeg-rmax0
+    # Target spans are clamped to qlen_side + w + 1: the banded DP can
+    # never reach target rows beyond qlen + w (the band collapses and
+    # ksw_extend2 breaks with identical outputs, ops/ksw.py:146-151), so
+    # the clamp is EXACT — and it lets chains spanning kb-scale repeat
+    # elements (rmax windows far beyond tmax) still run on the device
+    # instead of spilling to the host scalar kernel.
     ql_n = jnp.where(skip_left, 0, qbeg)
     ql_q = read_gather(qbeg[:, None] - 1 - jq)
     ql_q = jnp.where(jq < ql_n[:, None], ql_q, 0)
-    tl_n = jnp.where(skip_left, 0, (rbeg - rmax0).astype(i32))
+    tl_n = jnp.where(skip_left, 0,
+                     jnp.minimum((rbeg - rmax0).astype(i32),
+                                 jnp.minimum(qbeg + wl + 1, tmax)))
     tl_t = _pac_window_batch(dfm, rbeg, True, tmax)
     tl_t = jnp.where(jt < tl_n[:, None], tl_t, 0)
     # right: query[qe+j], target pac[rbeg+slen+j]
@@ -226,7 +234,8 @@ def seed_extend_desc_batch(qmax: int, tmax: int, L_reads: int,
     qr_q = read_gather(qe[:, None] + jq)
     qr_q = jnp.where(jq < qr_n[:, None], qr_q, 0)
     re_abs = rbeg + slen.astype(jnp.int64)
-    tr_n = jnp.clip(rmax1 - re_abs, 0, tmax).astype(i32)
+    tr_n = jnp.minimum(jnp.clip(rmax1 - re_abs, 0, tmax).astype(i32),
+                       qr_n + wr + 1)
     tr_t = _pac_window_batch(dfm, re_abs, False, tmax)
     tr_t = jnp.where(jt < tr_n[:, None], tr_t, 0)
 
@@ -284,11 +293,14 @@ class DescTaskBuffer:
         band-doubling retries); skip_left + h0 enqueue a right-only retry
         seeded with the saved left score."""
         d = task
+        # spans clamped to qlen_side + w + 1 (exact; see the kernel note)
+        qr_side = d.l_query - (d.qbeg + d.slen)
         if (read_idx < 0 or self.n >= self.cap
                 or d.qbeg > self.qmax
-                or d.l_query - (d.qbeg + d.slen) > self.qmax
-                or d.rbeg - d.rmax0 > self.tmax
-                or d.rmax1 - (d.rbeg + d.slen) > self.tmax):
+                or qr_side > self.qmax
+                or min(d.rbeg - d.rmax0, d.qbeg + wl + 1) > self.tmax
+                or min(d.rmax1 - (d.rbeg + d.slen),
+                       qr_side + wr + 1) > self.tmax):
             return -1
         i = self.n
         self.desc[:, i] = (read_idx, d.qbeg, d.slen, d.l_query, d.rbeg,

@@ -655,12 +655,19 @@ class BatchAligner:
 
     def _fits(self, t, read_idx: int) -> bool:
         """Device-shape check for a descriptor task (packReadData's
-        oversize filter analog)."""
+        oversize filter analog). Target spans count CLAMPED to
+        qlen_side + 2w + 1 — the max any band-doubling retry can reach
+        (exactness note in ops/chain2aln_jax.py); using the max retry
+        band here means a task that fits at try 0 also fits every
+        retry."""
+        W2 = (self.opt.w << 1) + 1
+        qr = t.l_query - (t.qbeg + t.slen)
         return (read_idx >= 0
                 and t.qbeg <= self.buf.qmax
-                and t.l_query - (t.qbeg + t.slen) <= self.buf.qmax
-                and t.rbeg - t.rmax0 <= self.buf.tmax
-                and t.rmax1 - (t.rbeg + t.slen) <= self.buf.tmax)
+                and qr <= self.buf.qmax
+                and min(t.rbeg - t.rmax0, t.qbeg + W2) <= self.buf.tmax
+                and min(t.rmax1 - (t.rbeg + t.slen),
+                        qr + W2) <= self.buf.tmax)
 
     # ------------------------------------------------------------------
     def align_se(self, reads: list[Read], n_processed: int = 0,

@@ -374,10 +374,18 @@ void run_host(const Opt& o, Driver& D, ReadState& R, int64_t out[12]) {
 }
 
 bool task_fits(const Driver& D, const ReadState& R, const Seed& s) {
-  return R.dev_ok && s.qbeg <= D.qmax &&
-         R.l_query - (s.qbeg + s.len) <= D.qmax &&
-         s.rbeg - R.rmax0 <= D.tmax &&
-         R.rmax1 - (s.rbeg + s.len) <= D.tmax;
+  // Target spans count CLAMPED to qlen_side + 2w + 1: the banded DP can
+  // never reach target rows beyond qlen + w (exactness note in
+  // ops/chain2aln_jax.py — the device kernel clamps tl_n/tr_n per
+  // attempt), and using the MAX retry band (2w) here means a task that
+  // fits at try 0 also fits every band-doubling retry. Without the
+  // clamp, chains spanning kb-scale repeat elements (rmax windows of
+  // many kb) spill ~75% of repeat-genome tasks to the host scalar path.
+  const int64_t W2 = ((int64_t)D.opt.w << 1) + 1;
+  const int64_t ql = s.qbeg, qr = R.l_query - (s.qbeg + s.len);
+  return R.dev_ok && ql <= D.qmax && qr <= D.qmax &&
+         std::min(s.rbeg - R.rmax0, ql + W2) <= D.tmax &&
+         std::min(R.rmax1 - (s.rbeg + s.len), qr + W2) <= D.tmax;
 }
 
 // advance the read's machine until a device task is pending or the read

@@ -47,6 +47,30 @@ def test_extend2_matches_scalar(opt):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_extend2_tlen_clamp_exact(opt):
+    """Clamping the target to qlen + w + 1 must be output-identical: the
+    banded DP never reaches target rows beyond qlen + w (the band
+    collapses and the row loop breaks). The wave driver relies on this
+    to run repeat-spanning chains (kb-scale rmax windows) on device
+    (ops/chain2aln_jax.py, native/_wave.cpp:task_fits)."""
+    rng = np.random.default_rng(77)
+    for trial in range(80):
+        qlen = int(rng.integers(1, 120))
+        w = int(rng.choice([5, 20, 100]))
+        tlen = qlen + w + 1 + int(rng.integers(1, 4000))
+        q, t = rand_pair(rng, qlen, tlen, related=trial % 2 == 0)
+        h0 = int(rng.integers(1, 40))
+        zdrop = int(rng.choice([0, 20, 100]))
+        full = ksw.ksw_extend2(len(q), q, tlen, t, opt.mat, opt.o_del,
+                               opt.e_del, opt.o_ins, opt.e_ins, w,
+                               opt.pen_clip5, zdrop, h0)
+        tc = len(q) + w + 1
+        clamped = ksw.ksw_extend2(len(q), q, tc, t[:tc], opt.mat,
+                                  opt.o_del, opt.e_del, opt.o_ins,
+                                  opt.e_ins, w, opt.pen_clip5, zdrop, h0)
+        assert full == clamped, f"trial {trial}: {full} != {clamped}"
+
+
 def test_extend2_perfect_match(opt):
     rng = np.random.default_rng(5)
     q = rng.integers(0, 4, size=50).astype(np.uint8)

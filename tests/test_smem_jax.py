@@ -63,15 +63,38 @@ def test_collect_intv_device_no_pass3(small_index, rng):
         assert sorted(_mems_key(got[b])) == sorted(_mems_key(want))
 
 
-def test_collect_intv_overflow_fallback(small_index, rng):
-    """Tiny budgets force the device machine to overflow; the wrapper must
-    fall back to golden and still return exact results."""
+def test_collect_intv_overflow_fallback(small_index, rng, monkeypatch):
+    """Tiny budgets force the device machine to overflow; with the device
+    redo disabled the wrapper must fall back to the host golden and still
+    return exact results (the last-resort path)."""
     fm, contigs = small_index
     dfm = fm_jax.DeviceFM.from_host(fm)
     opt = MemOpt()
     reads = _sample_reads(rng, contigs, 8)
+    monkeypatch.setattr(smem_jax, "DEVICE_REDO", False)
     got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128,
                                       MAXB=2, MAXM=4, iters_factor=1)
+    for b, r in enumerate(reads):
+        want = smem_golden.collect_intv(opt, fm, r)
+        assert sorted(_mems_key(got[b])) == sorted(_mems_key(want))
+
+
+def test_collect_intv_device_redo(small_index, rng, monkeypatch):
+    """Overflowed reads must be redone by the big-budget DEVICE machine;
+    the host golden is only the last resort. With MAXM=4 every read
+    overflows (OVF_MEMS), and the big machine (MAXM>=256) resolves all of
+    them — so golden must never be called, and results stay exact."""
+    fm, contigs = small_index
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    reads = _sample_reads(rng, contigs, 8)
+    calls = []
+    real = smem_golden.collect_intv
+    monkeypatch.setattr(smem_golden, "collect_intv",
+                        lambda *a: calls.append(a) or real(*a))
+    got = smem_jax.collect_intv_batch(opt, fm, dfm, reads, L=128,
+                                      MAXB=2, MAXM=4, iters_factor=1)
+    assert not calls, "device redo should have resolved every overflow"
     for b, r in enumerate(reads):
         want = smem_golden.collect_intv(opt, fm, r)
         assert sorted(_mems_key(got[b])) == sorted(_mems_key(want))
