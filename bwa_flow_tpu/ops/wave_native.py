@@ -89,9 +89,22 @@ def create_driver(opt: MemOpt, fm: FMIndex, seqs, all_intvs, sa_flat,
     return wd, needs
 
 
-pack = lambda wd, stream: _ext.pack(wd, stream)
+pack = lambda wd, stream, reserve=0: _ext.pack(wd, stream, reserve)
 host_tasks = lambda wd: _ext.host_tasks(wd)
 n_pending = lambda wd: _ext.n_pending(wd)
+
+
+def can_steal() -> bool:
+    """Guard for stale _wave builds predating the harvester API."""
+    return _ext is not None and hasattr(_ext, "steal")
+
+
+def steal(wd, max_reads: int) -> int:
+    """Claim up to max_reads pending reads and run them to completion on
+    the exact scalar kernel (GIL released) — harvester-thread entry for
+    CPU+device work sharing (the reference's accx_priority,
+    kflow/include/kflow/MapStage.h:78-116)."""
+    return _ext.steal(wd, max_reads)
 apply_results = lambda wd, stream, out: _ext.apply(
     wd, stream, np.ascontiguousarray(out))
 

@@ -53,7 +53,8 @@ class BatchAligner:
                  wave_cap: int = 4096, qmax: int = 160, tmax: int = 512,
                  sa_chunk: int = 65536, validate_every: int = 0,
                  validate_sample: int = 2, device_timeout: float = 300.0,
-                 drain_max: int | None = None):
+                 drain_max: int | None = None,
+                 harvest_workers: int | None = None):
         self.opt = opt
         self.fm = fm
         self.dfm = DeviceFM.from_host(fm)
@@ -63,6 +64,14 @@ class BatchAligner:
         # host scalar kernel instead of paying a device round trip
         self.drain_max = drain_max if drain_max is not None \
             else min(512, wave_cap // 16)
+        # harvester threads run pending reads on the exact scalar kernel
+        # WHILE device waves are in flight (the reference's concurrent
+        # CPU+accelerator execution of one work queue, accx_priority,
+        # kflow/include/kflow/MapStage.h:78-116); pack() leaves them a
+        # back-reserve of reads. 0 disables.
+        import os as _os
+        self.harvest_workers = harvest_workers if harvest_workers \
+            is not None else max(0, min(2, (_os.cpu_count() or 2) - 2))
         # two buffers: wave streams ping-pong (SWTask double buffering)
         self.bufs = [DescTaskBuffer(wave_cap, qmax, tmax),
                      DescTaskBuffer(wave_cap, qmax, tmax)]
@@ -86,6 +95,8 @@ class BatchAligner:
         # perf counters (the reference's per-stage VLOG spans, src/util.h:33)
         self.stats = {"reads": 0, "seed_host_redo": 0, "sa_host_redo": 0,
                       "ext_tasks_device": 0, "ext_tasks_host": 0,
+                      "host_oversize_q": 0, "host_oversize_t": 0,
+                      "host_sched": 0,
                       "waves": 0, "band_retries": 0, "validations": 0,
                       "device_errors": 0}
 
@@ -420,6 +431,28 @@ class BatchAligner:
         inflight = [0, 0]
 
         drain_ok = wave_native.can_drain()
+        # harvester threads: run pending reads on the exact scalar kernel
+        # WHILE device waves are in flight (concurrent CPU+accelerator
+        # execution of one work queue — the reference's accx_priority,
+        # kflow/include/kflow/MapStage.h:78-116). pack(reserve=-1) leaves
+        # them a back-reserve; results are bit-identical either way.
+        harvesting = (self.harvest_workers > 0 and drain_ok
+                      and wave_native.can_steal())
+        stop_ev = None
+        hthreads: list = []
+        if harvesting:
+            import threading
+            stop_ev = threading.Event()
+
+            def _harvest():
+                while not stop_ev.is_set():
+                    if wave_native.steal(wd, 16) == 0:
+                        stop_ev.wait(0.001)
+
+            hthreads = [threading.Thread(target=_harvest, daemon=True)
+                        for _ in range(self.harvest_workers)]
+            # started AFTER the first two waves pack (below): the device
+            # gets first claim on full waves; harvesters chew the reserve
 
         def pack_run(si):
             # a near-empty wave costs a full device round trip for a few
@@ -429,11 +462,13 @@ class BatchAligner:
             if drain_ok:
                 eligible = wave_native.n_pending(wd) - inflight[1 - si]
                 if 0 < eligible <= self.drain_max:
+                    if harvesting:
+                        return None   # the harvesters own the tail
                     with tracer.span("wave.drain"):
                         wave_native.drain(wd)
                     return None
             with tracer.span("wave.pack"):
-                r = wave_native.pack(wd, si)
+                r = wave_native.pack(wd, si, -1 if harvesting else 0)
             if r is None:
                 return None
             slots_b, desc_b = r
@@ -460,25 +495,46 @@ class BatchAligner:
             inflight[si] = count
             return out
 
-        streams = [pack_run(0), pack_run(1)]
-        if on_started is not None:
-            on_started()
-        si = 0
-        while streams[0] is not None or streams[1] is not None:
-            if streams[si] is not None:
-                with tracer.span("wave.fetch"):
-                    out = self.fetch(streams[si])
-                with tracer.span("wave.apply"):
-                    wave_native.apply_results(wd, si, out)
-                inflight[si] = 0
-                streams[si] = pack_run(si)
-                if on_started is not None:
-                    on_started()  # interleave the next seed sub-call
-            o = 1 - si
-            if streams[o] is None:
-                streams[o] = pack_run(o)
-            si = o
+        try:
+            streams = [pack_run(0), pack_run(1)]
+            for t in hthreads:
+                t.start()
+            if on_started is not None:
+                on_started()
+            si = 0
+            while streams[0] is not None or streams[1] is not None:
+                if streams[si] is not None:
+                    with tracer.span("wave.fetch"):
+                        out = self.fetch(streams[si])
+                    with tracer.span("wave.apply"):
+                        wave_native.apply_results(wd, si, out)
+                    inflight[si] = 0
+                    streams[si] = pack_run(si)
+                    if on_started is not None:
+                        on_started()  # interleave the next seed sub-call
+                o = 1 - si
+                if streams[o] is None:
+                    streams[o] = pack_run(o)
+                si = o
+            if harvesting:
+                stop_ev.set()
+                # finish the unclaimed remainder here while the
+                # harvesters complete their final claimed batches
+                with tracer.span("wave.drain"):
+                    wave_native.drain(wd)
+        finally:
+            # the harvesters hold a raw pointer into wd: they MUST exit
+            # before this frame releases it (also on exceptions)
+            if harvesting:
+                stop_ev.set()
+                for t in hthreads:
+                    t.join()
         self.stats["ext_tasks_host"] += wave_native.host_tasks(wd)
+        if hasattr(wave_native._ext, "host_breakdown"):
+            hq, ht, hs = wave_native._ext.host_breakdown(wd)
+            self.stats["host_oversize_q"] += hq
+            self.stats["host_oversize_t"] += ht
+            self.stats["host_sched"] += hs
         rows, frac, off = wave_native.finish(wd)
         if needs:
             from ..ops import chain_native

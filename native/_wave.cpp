@@ -17,9 +17,11 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 #include "ksw_impl.h"
@@ -138,8 +140,20 @@ struct Driver {
   std::vector<int64_t> seq_off;
   std::vector<ReadState> reads;
   std::vector<std::vector<int32_t>> stream_slots;  // per stream
-  int64_t n_pending = 0;  // reads not done
-  int64_t n_host_tasks = 0;  // oversized/non-resident tasks run inline
+  // Harvester threads (py_steal) run claimed reads concurrently with the
+  // wave loop: the claim scans (pack/steal/drain) serialize on mu;
+  // per-read state is owned by whoever set in_flight; shared counters
+  // are atomic (the CPU+accelerator work sharing of the reference,
+  // kflow/include/kflow/MapStage.h:78-116).
+  std::mutex mu;
+  std::atomic<int64_t> n_pending{0};  // reads not done
+  std::atomic<int64_t> n_host_tasks{0};  // tasks run on the scalar kernel
+  // host-task cause breakdown (diagnosis: which limit spills work off
+  // the device — query side too long, target window too long, or
+  // deliberately drained/stolen work)
+  std::atomic<int64_t> n_host_q{0};   // oversize: ql/qr > qmax
+  std::atomic<int64_t> n_host_t{0};   // oversize: clamped span > tmax
+  std::atomic<int64_t> n_host_sched{0};  // drain()/steal() scheduling
   std::vector<uint8_t>* pac_store = nullptr;
   std::vector<int64_t>* ann_store = nullptr;
   PyObject* ref_cap = nullptr;  // shared per-index RefBlock (borrowed pac)
@@ -420,6 +434,10 @@ void advance(Driver& D, ReadState& R) {
     run_host(o, D, R, out);
     apply_tuple(o, R, out);
     ++D.n_host_tasks;
+    if (s.qbeg > D.qmax || R.l_query - (s.qbeg + s.len) > D.qmax)
+      ++D.n_host_q;
+    else
+      ++D.n_host_t;
   }
 }
 
@@ -646,12 +664,19 @@ PyObject* py_create(PyObject*, PyObject* args) {
   return PyCapsule_New(D, "bwa_wave_driver", driver_destroy);
 }
 
-// pack(cap_obj, stream) -> (slots bytes i32[count], desc bytes i64[11*cap])
+// pack(cap_obj, stream[, reserve]) -> (slots bytes i32[count],
+//                                      desc bytes i64[11*cap])
 //                          | None when nothing packable
+// reserve > 0 leaves that many packable reads UNPACKED at the back of
+// the batch for harvester threads (py_steal) to run on host CPUs while
+// the wave is in flight — the accx_priority work split of the reference
+// (kflow/include/kflow/MapStage.h:78-116) at read granularity.
 PyObject* py_pack(PyObject*, PyObject* args) {
   PyObject* cap_o;
   int stream;
-  if (!PyArg_ParseTuple(args, "Oi", &cap_o, &stream)) return nullptr;
+  long long reserve = 0;
+  if (!PyArg_ParseTuple(args, "Oi|L", &cap_o, &stream, &reserve))
+    return nullptr;
   Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
   if (!D) return nullptr;
   std::vector<int32_t>& slots = D->stream_slots[stream];
@@ -664,10 +689,23 @@ PyObject* py_pack(PyObject*, PyObject* args) {
   }
   int64_t count = 0;
   int64_t W = D->opt.w;
-  for (int64_t r = 0; r < (int64_t)D->reads.size() && count < D->cap;
+  std::lock_guard<std::mutex> guard(D->mu);
+  int64_t limit = D->cap;
+  if (reserve != 0) {
+    int64_t packable = 0;
+    for (const ReadState& R : D->reads)
+      if (!R.in_flight && !R.done) ++packable;  // in_flight first: done
+                                                // races while claimed
+    // reserve < 0: auto — leave a quarter (cap 1024) for the harvesters
+    int64_t res = reserve > 0
+                      ? (int64_t)reserve
+                      : std::min<int64_t>(1024, packable / 4);
+    limit = std::min<int64_t>(limit, packable - res);
+  }
+  for (int64_t r = 0; r < (int64_t)D->reads.size() && count < limit;
        ++r) {
     ReadState& R = D->reads[r];
-    if (R.done || R.in_flight) continue;
+    if (R.in_flight || R.done) continue;  // in_flight first (see above)
     // pending task exists by construction (advance leaves one)
     int64_t wl = W, wr = W, skip_left = 0, h0 = R.cur.len * D->opt.a;
     if (R.stage == 1) {
@@ -723,17 +761,23 @@ PyObject* py_apply(PyObject*, PyObject* args) {
   }
   int64_t bad = -1;
   Py_BEGIN_ALLOW_THREADS
-  for (size_t i = 0; i < slots.size(); ++i) {
-    ReadState& R = D->reads[slots[i]];
-    R.in_flight = false;
-    int32_t row[OUT_ROWS];
-    for (int f = 0; f < OUT_ROWS; ++f)
-      row[f] = out[(int64_t)f * width + (int64_t)i];
-    if (!row_ok(*D, R, row)) {
-      bad = (int64_t)slots[i];
-      break;
+  {
+    // hold mu across the whole batch: handle_row mutates read state and
+    // in_flight must stay set until it finishes (a harvester claiming a
+    // half-applied read would race its mutation)
+    std::lock_guard<std::mutex> guard(D->mu);
+    for (size_t i = 0; i < slots.size(); ++i) {
+      ReadState& R = D->reads[slots[i]];
+      int32_t row[OUT_ROWS];
+      for (int f = 0; f < OUT_ROWS; ++f)
+        row[f] = out[(int64_t)f * width + (int64_t)i];
+      if (!row_ok(*D, R, row)) {
+        bad = (int64_t)slots[i];
+        break;
+      }
+      handle_row(*D, R, row);
+      R.in_flight = false;
     }
-    handle_row(*D, R, row);
   }
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&ob);
@@ -754,6 +798,47 @@ PyObject* py_apply(PyObject*, PyObject* args) {
 // kflow/include/kflow/MapStage.h:78-116, at wave granularity). run_host
 // recomputes band-doubling from scratch, which is exact regardless of
 // the read's retry stage.
+// claim up to max_reads pending reads (scanning back-to-front, so the
+// wave packer scanning front-to-back collides last) and run each to
+// completion on the exact scalar kernel; returns tasks run. run_host
+// recomputes band-doubling from scratch, which is exact regardless of
+// the read's retry stage, so host- and device-finished reads produce
+// identical regions.
+int64_t steal_run(Driver& D, int64_t max_reads) {
+  std::vector<ReadState*> mine;
+  {
+    std::lock_guard<std::mutex> guard(D.mu);
+    for (int64_t r = (int64_t)D.reads.size() - 1;
+         r >= 0 && (int64_t)mine.size() < max_reads; --r) {
+      ReadState& R = D.reads[r];
+      if (!R.in_flight && !R.done) {  // in_flight first (see py_pack)
+        R.in_flight = true;  // claim: pack/steal/apply skip it
+        mine.push_back(&R);
+      }
+    }
+  }
+  int64_t tasks = 0;
+  for (ReadState* Rp : mine) {
+    ReadState& R = *Rp;
+    while (!R.done) {
+      int64_t out[12];
+      run_host(D.opt, D, R, out);
+      apply_tuple(D.opt, R, out);
+      ++D.n_host_tasks;
+      ++D.n_host_sched;
+      advance(D, R);
+      ++tasks;
+    }
+  }
+  {
+    // release the claims under mu so the packer's reads of done (made
+    // only for reads it sees un-claimed) are ordered after our writes
+    std::lock_guard<std::mutex> guard(D.mu);
+    for (ReadState* Rp : mine) Rp->in_flight = false;
+  }
+  return tasks;
+}
+
 PyObject* py_drain(PyObject*, PyObject* args) {
   PyObject* cap_o;
   if (!PyArg_ParseTuple(args, "O", &cap_o)) return nullptr;
@@ -761,18 +846,24 @@ PyObject* py_drain(PyObject*, PyObject* args) {
   if (!D) return nullptr;
   int64_t done = 0;
   Py_BEGIN_ALLOW_THREADS
-  for (auto& R : D->reads) {
-    while (!R.done && !R.in_flight) {
-      int64_t out[12];
-      run_host(D->opt, *D, R, out);
-      apply_tuple(D->opt, R, out);
-      ++D->n_host_tasks;
-      advance(*D, R);
-      ++done;
-    }
-  }
+  done = steal_run(*D, (int64_t)D->reads.size());
   Py_END_ALLOW_THREADS
   return PyLong_FromLongLong((long long)done);
+}
+
+// steal(cap_obj, max_reads) -> tasks run; harvester-thread entry (GIL
+// released for the whole claim+compute)
+PyObject* py_steal(PyObject*, PyObject* args) {
+  PyObject* cap_o;
+  long long max_reads;
+  if (!PyArg_ParseTuple(args, "OL", &cap_o, &max_reads)) return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  int64_t tasks = 0;
+  Py_BEGIN_ALLOW_THREADS
+  tasks = steal_run(*D, (int64_t)max_reads);
+  Py_END_ALLOW_THREADS
+  return PyLong_FromLongLong((long long)tasks);
 }
 
 PyObject* py_n_pending(PyObject*, PyObject* args) {
@@ -789,6 +880,19 @@ PyObject* py_host_tasks(PyObject*, PyObject* args) {
   Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
   if (!D) return nullptr;
   return PyLong_FromLongLong((long long)D->n_host_tasks);
+}
+
+// host_breakdown(cap_obj) -> (oversize_q, oversize_t, sched)
+// why tasks ran on the scalar kernel: query side > qmax, clamped target
+// span > tmax (or !dev_ok), or drain/steal scheduling
+PyObject* py_host_breakdown(PyObject*, PyObject* args) {
+  PyObject* cap_o;
+  if (!PyArg_ParseTuple(args, "O", &cap_o)) return nullptr;
+  Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
+  if (!D) return nullptr;
+  return Py_BuildValue("(LLL)", (long long)D->n_host_q,
+                       (long long)D->n_host_t,
+                       (long long)D->n_host_sched);
 }
 
 // finish(cap_obj) -> (rows bytes i64[NR*12], frac bytes f64[NR],
@@ -851,11 +955,15 @@ PyMethodDef methods[] = {
      "copy pac/ann once into a shared per-index block"},
     {"pack", py_pack, METH_VARARGS, "pack the next wave for a stream"},
     {"apply", py_apply, METH_VARARGS, "apply device results for a stream"},
+    {"steal", py_steal, METH_VARARGS,
+     "claim+run up to max_reads pending reads on the scalar kernel"},
     {"drain", py_drain, METH_VARARGS,
      "finish all pending reads on the scalar kernel"},
     {"n_pending", py_n_pending, METH_VARARGS, "reads not yet finished"},
     {"host_tasks", py_host_tasks, METH_VARARGS,
      "count of tasks run inline on the scalar kernel"},
+    {"host_breakdown", py_host_breakdown, METH_VARARGS,
+     "(oversize_q, oversize_t, sched) host-task causes"},
     {"finish", py_finish, METH_VARARGS, "collect packed regions"},
     {nullptr, nullptr, 0, nullptr}};
 

@@ -119,3 +119,36 @@ def test_pipeline_no_dense_sa_probe_path(small_index, rng, monkeypatch):
     ba.align_se(reads, n_processed=0)
     for got_r, want_r in zip(reads, want):
         assert got_r.sam == want_r.sam, got_r.name
+
+
+def test_wave_harvest_workers_exact(small_index, rng):
+    """Harvester threads steal pending reads onto the scalar kernel WHILE
+    device waves are in flight (the reference's concurrent CPU+accel
+    execution of one queue, kflow/include/kflow/MapStage.h:78-116).
+    Output must be bit-identical to golden, and both the device and the
+    host path must actually run."""
+    import copy
+
+    from bwa_flow_tpu.io.sam import Read
+    from bwa_flow_tpu.models import golden
+    from bwa_flow_tpu.ops import wave_native
+    from bwa_flow_tpu.pipeline.batch import BatchAligner
+
+    if not (wave_native.available() and wave_native.can_steal()):
+        import pytest
+        pytest.skip("native wave driver without steal()")
+    fm, contigs = small_index
+    opt = MemOpt()
+    seqs = _reads(rng, contigs, 48)
+    reads = [Read(name=f"h{i}", seq=s, qual="I" * len(s), id=i)
+             for i, s in enumerate(seqs)]
+    want = copy.deepcopy(reads)
+    golden.align_se(opt, fm, want, n_processed=0)
+    # tiny wave_cap -> many small waves -> plenty of in-flight windows
+    # for the harvesters to steal during
+    ba = BatchAligner(opt, fm, wave_cap=16, harvest_workers=2)
+    ba.align_se(reads, n_processed=0)
+    for got_r, want_r in zip(reads, want):
+        assert got_r.sam == want_r.sam, got_r.name
+    assert ba.stats["ext_tasks_host"] > 0, "harvesters never ran"
+    assert ba.stats["ext_tasks_device"] > 0, "device never ran"
