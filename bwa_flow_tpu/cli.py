@@ -97,6 +97,10 @@ def _mem_parser() -> argparse.ArgumentParser:
     a("--nprocs", type=int, default=None)
     a("--proc-id", type=int, dest="proc_id", default=None)
     a("--coordinator", dest="coordinator", default=None)
+    a("--dist", choices=("pull", "stride"), default="pull",
+      help="multi-host batch assignment: pull = dynamic work queue on "
+      "rank 0 (the reference's MPI master loop, self-load-balancing); "
+      "stride = static every-Nth-batch")
     a("--help", action="help")
     a("ref")
     a("fastq", nargs="+")
@@ -326,11 +330,23 @@ def main_mem(argv: list[str]) -> int:
 
     fq2 = args.fastq[1] if len(args.fastq) > 1 else None
 
+    wq_server = None
+    if nprocs > 1 and args.dist == "pull":
+        # rank 0 hosts the work-queue service next to the jax.distributed
+        # coordinator; every rank (0 included) pulls from it
+        wq_port = dist.workqueue_port(args.coordinator)
+        if pid == 0:
+            wq_server = dist.WorkQueueServer(port=wq_port)
+        wq_host = (args.coordinator or "localhost:9911").rsplit(":", 1)[0]
+
     def batches():
         it = read_batches(args.fastq[0], fq2,
                           chunk_bp=opt.chunk_size * opt.n_threads,
                           interleaved=args.smart_pairing)
-        if nprocs > 1:
+        if nprocs > 1 and args.dist == "pull":
+            it = dist.pull_batches(
+                it, dist.WorkQueueClient(wq_host, wq_port))
+        elif nprocs > 1:
             it = dist.shard_batches(it, pid, nprocs)
         for batch in it:
             if not args.append_comment:
@@ -381,6 +397,8 @@ def main_mem(argv: list[str]) -> int:
               f"blocks", file=sys.stderr)
     if nprocs > 1:
         dist.barrier()  # final Barrier (mpi_main.cpp:319-325)
+    if wq_server is not None:
+        wq_server.close()
     print(f"[M::mem] total {time.time()-t0:.1f}s", file=sys.stderr)
     return 0
 

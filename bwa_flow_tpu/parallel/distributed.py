@@ -55,6 +55,137 @@ def shard_batches(batches, process_id: int, num_processes: int):
             yield batch
 
 
+class WorkQueueServer:
+    """Pull-based batch-index service — the MPI master loop analog.
+
+    The reference's master rank hands each worker the NEXT read chunk on
+    request, so a slow node simply pulls fewer chunks and nobody
+    straggles the job (/root/reference/src/mpi/MPIChannel.cpp:138-193:
+    SampleChannel::retrieve's MPI_Send(rank)->MPI_Recv(chunk) loop).
+    Here the master hands out batch INDEXES over a one-line TCP protocol
+    and every host reads its own input (all hosts see the same FASTQ, so
+    shipping read data like MPI_Recv does would waste the wire); each
+    index is served to exactly one puller.
+
+    Protocol: client sends ``NEXT\\n``, server replies ``<idx>\\n`` with a
+    monotonically increasing index. The server never says "done" — it
+    does not know the input length up front (batches stream in); a
+    client past the end of its local iterator simply stops pulling.
+    """
+
+    def __init__(self, host: str = "", port: int = 0):
+        import socket
+        import threading
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(64)
+        self.port = self._sock.getsockname()[1]
+        self._next = 0
+        self._lock = threading.Lock()
+        self._closed = False
+        self._threads = []
+        t = threading.Thread(target=self._accept, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def _accept(self):
+        import threading
+        while not self._closed:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _serve(self, conn):
+        try:
+            f = conn.makefile("rwb")
+            while True:
+                line = f.readline()
+                if not line or line.strip() != b"NEXT":
+                    return
+                with self._lock:
+                    idx = self._next
+                    self._next += 1
+                f.write(b"%d\n" % idx)
+                f.flush()
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    def close(self):
+        self._closed = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class WorkQueueClient:
+    """Puller side; retries the connect while the master starts up."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        import socket
+        import time as _time
+        deadline = _time.time() + timeout
+        err = None
+        while _time.time() < deadline:
+            try:
+                self._sock = socket.create_connection((host, port),
+                                                      timeout=timeout)
+                break
+            except OSError as e:
+                err = e
+                _time.sleep(0.2)
+        else:
+            raise ConnectionError(
+                f"work queue at {host}:{port} unreachable: {err}")
+        self._f = self._sock.makefile("rwb")
+
+    def next_index(self) -> int:
+        self._f.write(b"NEXT\n")
+        self._f.flush()
+        line = self._f.readline()
+        if not line:
+            raise ConnectionError("work queue closed mid-run")
+        return int(line)
+
+    def close(self):
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def pull_batches(batches, client: "WorkQueueClient"):
+    """Dynamic batch assignment: align exactly the batch indexes pulled
+    from the master's queue. Read-id numbering stays global (every host
+    walks the whole local iterator), like shard_batches, so hash_64
+    tie-breaks match a single-host run."""
+    try:
+        want = client.next_index()
+        for i, batch in enumerate(batches):
+            if i == want:
+                yield batch
+                want = client.next_index()
+    finally:
+        client.close()
+
+
+def workqueue_port(coordinator: str | None) -> int:
+    """Deterministic queue port derived from the jax.distributed
+    coordinator (its own port is taken by the coordination service)."""
+    base = 9911
+    if coordinator and ":" in coordinator:
+        base = int(coordinator.rsplit(":", 1)[1])
+    return base + 137
+
+
 def allgather_i64(rows: np.ndarray) -> np.ndarray:
     """All-gather variable-length int64[N, K] rows across hosts (pads to
     the global max and strips). Single-process: identity."""

@@ -63,3 +63,47 @@ def test_two_rank_equality(tmp_path):
         body(tmp_path / "two.part001.sam")
     assert len(one) == len(two)
     assert sorted(one) == sorted(two)
+
+
+def test_two_rank_equality_device_path(tmp_path):
+    """Same 2-rank union == 1-proc equality, but through the DEVICE
+    pipeline (CPU-backend JAX) and the pull work queue — covers the
+    sharded seeding/SA/wave code under jax.distributed (round-2 verdict
+    weakness 8: only the --no-device path was proven)."""
+    rng = np.random.default_rng(78)
+    contigs = orc.make_ref(rng, [("chr1", 20000)], repeat_frac=0.1)
+    ref = tmp_path / "ref.fa"
+    orc.write_fasta(ref, contigs)
+    orc.oracle_index(ref)
+    reads = orc.sample_se(rng, contigs, 160, read_len=101)
+    fq = tmp_path / "r.fq"
+    orc.write_fastq(fq, reads)
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "PYTHONPATH": "/root/repo:/root/.axon_site",
+           "JAX_PLATFORMS": "cpu",
+           "JAX_COMPILATION_CACHE_DIR": "/root/repo/.cache/jax_cache"}
+    base = ["--disable-markdup", "-K", "4000", "-t", "1",
+            str(ref), str(fq)]
+    _run_mem(["-o", str(tmp_path / "one.sam")] + base, env)
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "bwa_flow_tpu", "mem",
+             "--nprocs", "2", "--proc-id", str(pid),
+             "--coordinator", "127.0.0.1:9931", "--dist", "pull",
+             "-o", str(tmp_path / "two.sam")] + base,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env))
+    for p in procs:
+        _, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-2000:]
+
+    def body(path):
+        return [l for l in path.read_text().splitlines()
+                if not l.startswith("@")]
+
+    one = body(tmp_path / "one.sam")
+    two = body(tmp_path / "two.part000.sam") + \
+        body(tmp_path / "two.part001.sam")
+    assert len(one) == len(two)
+    assert sorted(one) == sorted(two)
