@@ -374,7 +374,22 @@ def bench_host_oracle(rng, genome, fm, opt):
 
 
 def main():
-    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    # Wall-clock budget (round-3 postmortem: BENCH_r03 was rc=124 with no
+    # JSON — nine serial phases with no time discipline overran the
+    # driver's window; the reference's harness ALWAYS produces its
+    # walltime line, /root/reference/benchmarks/run.sh:1-44). Core phases
+    # (extend, smem, e2e SE, real bwa) run first and the headline JSON
+    # line is emitted as soon as they finish; optional phases (PE, Gbp,
+    # human) run only with remaining budget and append a SECOND complete
+    # JSON line the driver can also parse.
+    budget = float(os.environ.get("BWA_TPU_BENCH_BUDGET", "420"))
+    t_start = time.monotonic()
+
+    def remaining():
+        return budget - (time.monotonic() - t_start)
+
+    print(f"# devices: {jax.devices()}  budget={budget:.0f}s",
+          file=sys.stderr)
     rng = np.random.default_rng(1)
     opt = MemOpt()
     fm, genome = get_index()
@@ -392,11 +407,6 @@ def main():
     print("# SE spans:\n" + _tr.report(), file=sys.stderr)
     _tr.totals.clear()
     _tr.counts.clear()
-    pe_rps = bench_e2e_pe(rng, genome, fm, opt)
-    print(f"# e2e PE: {pe_rps:.0f} reads/s", file=sys.stderr)
-    print("# PE spans:\n" + _tr.report(), file=sys.stderr)
-    _tr.totals.clear()
-    _tr.counts.clear()
     host_rps = bench_host_oracle(rng, genome, fm, opt)
     print(f"# host golden (1 core): {host_rps:.1f} reads/s", file=sys.stderr)
     try:
@@ -407,50 +417,97 @@ def main():
     if real_rps:
         print(f"# real bwa mem -t1 (1 core): {real_rps:.0f} reads/s",
               file=sys.stderr)
-    try:
-        gbp_rps = bench_e2e_big(opt, "gbp", "e2e 1Gbp")
-    except Exception as e:   # the headline metrics must survive a Gbp
-        print(f"# e2e 1Gbp genome failed: {e!r}", file=sys.stderr)
-        gbp_rps = None       # index/load/compile hiccup
-    if gbp_rps:
-        print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s", file=sys.stderr)
-    try:
-        human_rps = bench_e2e_big(opt, "human", "e2e 3.1Gbp")
-    except Exception as e:
-        print(f"# e2e 3.1Gbp genome failed: {e!r}", file=sys.stderr)
-        human_rps = None
-    if human_rps:
-        print(f"# e2e 3.1Gbp genome (int64 machine): {human_rps:.0f} "
-              "reads/s", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "e2e_se_reads_per_s",
-        "value": round(e2e_rps, 1),
-        "unit": "reads/s/chip",
-        # honest multiple: the REAL bwa binary, single core, same
-        # genome + reads (falls back to the NumPy golden if unbuildable)
-        "vs_baseline": round(e2e_rps / real_rps, 1) if real_rps
-        else round(e2e_rps / host_rps, 1) if host_rps else None,
-        "extra": {
-            "e2e_pe_reads_per_s": round(pe_rps, 1),
-            "banded_sw_extend_gcups": round(gcups, 3),
-            "smem_seed_reads_per_s": round(smem_rps, 1),
-            "real_bwa_reads_per_s": round(real_rps, 1) if real_rps
-            else None,
-            "vs_real_bwa_1core": round(e2e_rps / real_rps, 1) if real_rps
-            else None,
-            "host_golden_reads_per_s": round(host_rps, 2),
-            "vs_host_golden": round(e2e_rps / host_rps, 1) if host_rps
-            else None,
-            "host_oracle_gcups": round(cpu_gcups, 4),
-            "e2e_gbp_reads_per_s": round(gbp_rps, 1) if gbp_rps else None,
-            "e2e_human_3gbp_reads_per_s": round(human_rps, 1)
-            if human_rps else None,
-            "genome": "repeat-realistic (28% SINE, 12% LINE, 4% tandem)",
-            "read_len": READ_LEN,
-            "n_reads": N_E2E,
-        },
-    }))
+    ext_dev = stats.get("ext_tasks_device", 0)
+    ext_host = stats.get("ext_tasks_host", 0)
+    extra = {
+        "e2e_pe_reads_per_s": None,
+        "banded_sw_extend_gcups": round(gcups, 3),
+        "smem_seed_reads_per_s": round(smem_rps, 1),
+        "real_bwa_reads_per_s": round(real_rps, 1) if real_rps else None,
+        "vs_real_bwa_1core": round(e2e_rps / real_rps, 2) if real_rps
+        else None,
+        "host_golden_reads_per_s": round(host_rps, 2),
+        "vs_host_golden": round(e2e_rps / host_rps, 1) if host_rps
+        else None,
+        "host_oracle_gcups": round(cpu_gcups, 4),
+        "ext_tasks_device": ext_dev,
+        "ext_tasks_host": ext_host,
+        "ext_device_frac": round(ext_dev / max(ext_dev + ext_host, 1), 3),
+        "e2e_gbp_reads_per_s": None,
+        "e2e_human_3gbp_reads_per_s": None,
+        "genome": "repeat-realistic (28% SINE, 12% LINE, 4% tandem)",
+        "read_len": READ_LEN,
+        "n_reads": N_E2E,
+    }
+
+    def headline():
+        return json.dumps({
+            "metric": "e2e_se_reads_per_s",
+            "value": round(e2e_rps, 1),
+            "unit": "reads/s/chip",
+            # honest multiple: the REAL bwa binary, single core, same
+            # genome + reads (NumPy golden only if bwa is unbuildable)
+            "vs_baseline": round(e2e_rps / real_rps, 2) if real_rps
+            else round(e2e_rps / host_rps, 1) if host_rps else None,
+            "extra": extra,
+        })
+
+    # the headline line ships NOW — optional phases can only add to it
+    print(headline(), flush=True)
+
+    ran_optional = False
+    if remaining() > 60:
+        try:
+            pe_rps = bench_e2e_pe(rng, genome, fm, opt)
+            extra["e2e_pe_reads_per_s"] = round(pe_rps, 1)
+            ran_optional = True
+            print(f"# e2e PE: {pe_rps:.0f} reads/s", file=sys.stderr)
+            print("# PE spans:\n" + _tr.report(), file=sys.stderr)
+        except Exception as e:
+            print(f"# e2e PE failed: {e!r}", file=sys.stderr)
+        _tr.totals.clear()
+        _tr.counts.clear()
+    else:
+        print(f"# skipping PE phase ({remaining():.0f}s left)",
+              file=sys.stderr)
+    if remaining() > 90:
+        try:
+            gbp_rps = bench_e2e_big(opt, "gbp", "e2e 1Gbp")
+            if gbp_rps:
+                extra["e2e_gbp_reads_per_s"] = round(gbp_rps, 1)
+                ran_optional = True
+                print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s",
+                      file=sys.stderr)
+            else:
+                print("# e2e 1Gbp skipped: .cache/gbp/ref.fa.sa missing",
+                      file=sys.stderr)
+        except Exception as e:   # headline already shipped
+            print(f"# e2e 1Gbp genome failed: {e!r}", file=sys.stderr)
+    else:
+        print(f"# skipping 1Gbp phase ({remaining():.0f}s left)",
+              file=sys.stderr)
+    if remaining() > 150:
+        try:
+            human_rps = bench_e2e_big(opt, "human", "e2e 3.1Gbp")
+            if human_rps:
+                extra["e2e_human_3gbp_reads_per_s"] = round(human_rps, 1)
+                ran_optional = True
+                print(f"# e2e 3.1Gbp genome (int64 machine): "
+                      f"{human_rps:.0f} reads/s", file=sys.stderr)
+            else:
+                print("# e2e 3.1Gbp skipped: .cache/human/ref.fa.sa "
+                      "missing", file=sys.stderr)
+        except Exception as e:
+            print(f"# e2e 3.1Gbp genome failed: {e!r}", file=sys.stderr)
+    else:
+        print(f"# skipping 3.1Gbp phase ({remaining():.0f}s left)",
+              file=sys.stderr)
+
+    if ran_optional:
+        # second complete line with the optional-phase extras filled in;
+        # the driver may parse either (both carry the full headline)
+        print(headline(), flush=True)
 
 
 if __name__ == "__main__":

@@ -249,9 +249,30 @@ def _rg_id(rg_line) -> str:
     return ""
 
 
+def _setup_jax_cache() -> None:
+    """Enable the persistent XLA compilation cache for CLI runs.
+
+    Without it every invocation recompiles every program — through a
+    remote-compile TPU tunnel that is minutes of wall clock (the round-3
+    CLI chip drive produced a 0-byte SAM purely from cold compiles).
+    JAX_COMPILATION_CACHE_DIR wins when set; otherwise a per-user cache
+    dir is used."""
+    import jax
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        d = os.path.join(os.path.expanduser("~"), ".cache",
+                         "bwa_flow_tpu", "jax_cache")
+        try:
+            os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+        except OSError:
+            return
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main_mem(argv: list[str]) -> int:
     args = _mem_parser().parse_args(argv)
     opt = build_opt(args)
+    _setup_jax_cache()
     from .parallel import distributed as dist
     pid, nprocs = dist.init_distributed(args.coordinator, args.nprocs,
                                         args.proc_id)
@@ -331,13 +352,15 @@ def main_mem(argv: list[str]) -> int:
     fq2 = args.fastq[1] if len(args.fastq) > 1 else None
 
     wq_server = None
+    wq_tally: dict = {}
     if nprocs > 1 and args.dist == "pull":
         # rank 0 hosts the work-queue service next to the jax.distributed
-        # coordinator; every rank (0 included) pulls from it
-        wq_port = dist.workqueue_port(args.coordinator)
+        # coordinator; every rank (0 included) pulls from it. Host/port
+        # derive from the RESOLVED coordinator (flag -> env -> default,
+        # round-3 advisor: env-configured runs must not pull localhost).
+        wq_host, wq_port = dist.workqueue_addr(args.coordinator)
         if pid == 0:
-            wq_server = dist.WorkQueueServer(port=wq_port)
-        wq_host = (args.coordinator or "localhost:9911").rsplit(":", 1)[0]
+            wq_server = dist.WorkQueueServer(host=wq_host, port=wq_port)
 
     def batches():
         it = read_batches(args.fastq[0], fq2,
@@ -345,7 +368,8 @@ def main_mem(argv: list[str]) -> int:
                           interleaved=args.smart_pairing)
         if nprocs > 1 and args.dist == "pull":
             it = dist.pull_batches(
-                it, dist.WorkQueueClient(wq_host, wq_port))
+                it, dist.WorkQueueClient(wq_host, wq_port),
+                tally=wq_tally)
         elif nprocs > 1:
             it = dist.shard_batches(it, pid, nprocs)
         for batch in it:
@@ -396,6 +420,11 @@ def main_mem(argv: list[str]) -> int:
         print(f"[M::mem] markdup: {markdup.state.dup_count} duplicate "
               f"blocks", file=sys.stderr)
     if nprocs > 1:
+        if args.dist == "pull" and "n_batches" in wq_tally:
+            # exact-partition check: raises if any batch index was
+            # consumed but never aligned (silent read loss)
+            dist.verify_partition(wq_tally["n_batches"],
+                                  wq_tally["n_aligned"])
         dist.barrier()  # final Barrier (mpi_main.cpp:319-325)
     if wq_server is not None:
         wq_server.close()

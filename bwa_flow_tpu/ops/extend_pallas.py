@@ -269,20 +269,37 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
         tlen = lane_ref[1:2, :]
         h0 = lane_ref[2:3, :]
         wv = lane_ref[3:4, :]
-        # every [1, tile] int16 operand is broadcast to full row shape
-        # before mixing with [QP, tile] vectors: Mosaic's int16 layout
-        # assignment cannot relayout replicated-sublane i1/i16 rows
-        # against (16, 128)-tiled full vectors ("Invalid relayout"
-        # internal error)
-        qlen6 = jnp.broadcast_to(qlen.astype(DT), (QP1, tile))
-        h06 = jnp.broadcast_to(h0.astype(DT), (QP1, tile))
 
-        j1 = jax.lax.broadcasted_iota(DT, (QP1, tile), 0)
-        jq = jax.lax.broadcasted_iota(DT, (QP0, tile), 0)
+        # hardware has no 16-bit iota: generate int32 and narrow
+        j1 = jax.lax.broadcasted_iota(I32, (QP1, tile), 0).astype(DT)
+        jq = jax.lax.broadcasted_iota(I32, (QP0, tile), 0).astype(DT)
+        # Mosaic cannot relayout replicated-sublane i1/i16 rows against
+        # (16, 128)-tiled full vectors in EITHER direction ("Invalid
+        # relayout" internal error): a bare broadcast_to of a [1, tile]
+        # row stays lazily sublane-replicated, and any mask/select mixing
+        # it with full vectors trips the bug. Force every broadcast row
+        # to a materially full layout by adding a non-foldable full-
+        # layout zero (min(iota, 0) — iota is never replicated).
+        # arith.minsi/maxsi on i16 vectors do not legalize in this
+        # Mosaic release: spell max as compare+select (cmpi/arith.select
+        # legalize fine)
+        def mx6(a, b):
+            return jnp.where(a > b, a, b)
+
+        # iota is nonnegative, so max(-iota, 0) is a full-layout zero
+        z_full = mx6(-j1, j1 * Z6)
+        z_full0 = mx6(-jq, jq * Z6)
+
+        def full1(row, shape_full):
+            return jnp.broadcast_to(row.astype(DT), shape_full.shape) \
+                + shape_full
+
+        qlen6 = full1(qlen, z_full)
+        h06 = full1(h0, z_full)
 
         ehH0 = jnp.where(j1 == Z6, h06,
-                         jnp.maximum(h06 - oe_ins6 - (j1 - DT(1)) * e_ins6,
-                                     Z6))
+                         mx6(h06 - oe_ins6 - (j1 - DT(1)) * e_ins6,
+                             z_full))
         ehH[:] = jnp.where(j1 <= qlen6, ehH0, Z6)
         ehE[:] = jnp.zeros((QP1, tile), DT)
 
@@ -305,15 +322,14 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
                             end)
             degen = beg >= end
             active = active0 & ~degen
-            beg6 = jnp.broadcast_to(beg.astype(DT), (QP0, tile))
-            end6 = jnp.broadcast_to(end.astype(DT), (QP0, tile))
-            beg6w = jnp.broadcast_to(beg.astype(DT), (QP1, tile))
-            end6w = jnp.broadcast_to(end.astype(DT), (QP1, tile))
+            beg6 = full1(beg, z_full0)
+            end6 = full1(end, z_full0)
+            beg6w = full1(beg, z_full)
+            end6w = full1(end, z_full)
 
             # t stays int32: Mosaic cannot vector.load a single i16
             # sublane row at a dynamic offset ((16,128) tiling)
-            trow = jnp.broadcast_to(
-                t_ref[pl.ds(i, 1), :].astype(DT), (QP0, tile))
+            trow = full1(t_ref[pl.ds(i, 1), :], z_full0)
             qrow = jnp.zeros((QP0, tile), DT)
             for cc in range(5):
                 qrow = jnp.where(trow == DT(cc),
@@ -326,33 +342,33 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
             M = jnp.where(band, M, Z6)
             Ein_b = jnp.where(band, Ein, Z6)
 
-            T_ins = jnp.maximum(M - oe_ins6, Z6)
+            T_ins = mx6(M - oe_ins6, z_full0)
             A = jnp.where(band, T_ins + jq * e_ins6, NEGC)
             run = A
             k = 1
             while k < QP0:
                 sh = jnp.concatenate(
                     [jnp.full((k, tile), NEG16, DT), run[:-k, :]], axis=0)
-                run = jnp.maximum(run, sh)
+                run = mx6(run, sh)
                 k <<= 1
             runs = jnp.concatenate(
                 [jnp.full((1, tile), NEG16, DT), run[:-1, :]], axis=0)
-            F = jnp.maximum(runs - (jq - DT(1)) * e_ins6, NEGC)
+            F = mx6(runs - (jq - DT(1)) * e_ins6, z_full0 + NEGC)
             F = jnp.where(jq == beg6, Z6, F)
             F = jnp.where(band, F, Z6)
-            F = jnp.maximum(F, Z6)
+            F = mx6(F, z_full0)
 
-            H = jnp.maximum(jnp.maximum(M, Ein_b), F)
+            H = mx6(mx6(M, Ein_b), F)
             H = jnp.where(band, H, Z6)
-            Eout = jnp.maximum(jnp.maximum(M - oe_del6, Z6),
-                               Ein_b - e_del6)
+            Eout = mx6(mx6(M - oe_del6, z_full0),
+                       Ein_b - e_del6)
             Eout = jnp.where(band, Eout, Z6)
 
             h1_init32 = jnp.where(
                 beg == Z,
                 jnp.maximum(h0 - (o_del + e_del * (i + jnp.int32(1))), Z),
                 Z)
-            h1_init = jnp.broadcast_to(h1_init32.astype(DT), (QP1, tile))
+            h1_init = full1(h1_init32, z_full)
 
             Hshift = jnp.concatenate(
                 [jnp.zeros((1, tile), DT), H,
@@ -372,8 +388,7 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
                          axis=0, dtype=I32)[None, :]
             mrow = jnp.max(jnp.where(band, H, Z6).astype(I32),
                            axis=0)[None, :]
-            att = band & (H == jnp.broadcast_to(mrow.astype(DT),
-                                                (QP0, tile)))
+            att = band & (H == full1(mrow, z_full0))
             mj = jnp.max(jnp.where(att, jq, DT(-1)).astype(I32),
                          axis=0)[None, :]
             mj = jnp.where(mrow > Z, mj, end - jnp.int32(1))
@@ -406,15 +421,17 @@ def _make_kernel16(qmax: int, tmax: int, tile: int):
             first_nz = jnp.min(jnp.where(fwd, j1, QBIG).astype(I32),
                                axis=0)[None, :]
             beg_s = jnp.minimum(first_nz, end)
-            beg_s6 = jnp.broadcast_to(beg_s.astype(DT), (QP1, tile))
+            beg_s6 = full1(beg_s, z_full)
             bwd = nz & (j1 >= beg_s6) & (j1 <= end6w)
             last_nz = jnp.max(
                 jnp.where(bwd, j1, beg_s6 - DT(1)).astype(I32),
                 axis=0)[None, :]
             end_s = jnp.minimum(last_nz + jnp.int32(2), qlen)
 
-            act2 = jnp.broadcast_to(active, (QP1, tile))
-            deg2 = jnp.broadcast_to(active0 & degen, (QP1, tile))
+            # boolean rows broadcast through int16 + full-layout zero
+            # (a bare broadcast_to(i1) stays replicated -> relayout bug)
+            act2 = full1(active.astype(DT), z_full) != Z6
+            deg2 = full1((active0 & degen).astype(DT), z_full) != Z6
             at_end = j1 == end6w
             ehH[:] = jnp.where(act2, new_ehH,
                                jnp.where(deg2 & at_end, h1_init, ehH[:]))
@@ -456,10 +473,25 @@ def fits_i16(qmax: int, h0max: int, max_mat: int, end_bonus: int) -> bool:
     offset ramp stays above NEG16.
 
     PARKED off by default: the int16 kernel is exact under the Pallas
-    interpreter (see /tmp-free fuzz in tests) but the current Mosaic
-    release rejects it with an "Invalid relayout ... vector<176x256xi1>"
-    internal error on [QP1, tile] masks derived from int16 compares.
-    Enable with BWA_TPU_EXTEND16=1 to retry on newer toolchains."""
+    interpreter (see /tmp-free fuzz in tests) but cannot compile on the
+    current Mosaic. Round-4 finding chain (each wall hit after dodging
+    the previous one on the real toolchain):
+      1. "Invalid relayout ... vector<176x256xi1>" on masks mixing
+         lazily-replicated broadcast_to rows with full vectors — DODGED
+         by materializing every broadcast row through a full-layout zero
+         (max(-iota, 0)) and deriving bool rows via int16 compares.
+      2. "16-bit iota not supported by hardware" — DODGED (int32 iota,
+         narrow).
+      3. arith.minsi/maxsi on vector<8x128x2xi16> "failed to legalize"
+         — DODGED (compare+select mx6).
+      4. arith.cmpi on vector<8x128x2xi16>: "Target does not support
+         this comparison" — NOT dodgeable: Mosaic keeps i16 in the
+         packed (8,128,2) layout on v5e and supports no comparison
+         there, and every DP step needs band masks from compares.
+    The restructured kernel is kept for newer toolchains (enable with
+    BWA_TPU_EXTEND16=1); the round-4 throughput work went to task-size
+    sorting + shape-bucketed kernel variants instead, which give the
+    same order of win without fighting the compiler."""
     import os
     if not os.environ.get("BWA_TPU_EXTEND16"):
         return False

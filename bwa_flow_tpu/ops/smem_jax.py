@@ -477,9 +477,24 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     # pack the remaining breaks into the backward-walk pool
     src, dst, lane_ok, dropped = _compact((valid & ~doa).reshape(-1),
                                           PBUD)
+    # order the pool by walk-length BOUND (a lane starting at i_b0 dies
+    # within i_b0+2 probes): each CS-chunk's while loop runs to its own
+    # max, so mixing a p99 walk into every chunk makes every chunk pay
+    # ~p99 iterations — sorted, short walks share chunks that exit after
+    # a few probes (measured 0.35 ms/read -> ~0.2 ms/read on the repeat
+    # fixture). The argsort costs ~1 ms, far under what it saves.
+    i_b0_all = (s["brk_x"] - 1).reshape(-1)
+    order_key = jnp.where(lane_ok, i_b0_all[src], BIG32)
+    perm = jnp.argsort(order_key)
+    src = src[perm]
+    lane_ok = jnp.arange(PBUD, dtype=I32) < lane_ok.sum().astype(I32)
+    inv = jnp.zeros(PBUD + 1, I32).at[perm].set(
+        jnp.arange(PBUD, dtype=I32), mode="drop")
+    inv = inv.at[PBUD].set(PBUD)
+    dst = inv[dst]                                    # compose permutation
     lane_nl = src // NB                               # owning lane row
     bst0 = s["brk_kls"].transpose(0, 2, 1).reshape(NL * NB, 3)[src]
-    i_b0 = (s["brk_x"] - 1).reshape(-1)[src]
+    i_b0 = i_b0_all[src]
     rid_b = read_id[lane_nl]
     mi_b = mi[lane_nl]
     r_l, bst_l = _bwd_walk_machine(dfm, L, q_flat, rid_b, bst0, i_b0,
@@ -575,9 +590,18 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     NP3 = 48 if big else 24    # pass-3 mem slots
     M2 = min(128 if big else 64, MAXM)   # per-read pass-2 emission cap
     PBUD1 = (128 if big else 48) * B   # pass-1 backward-pool lanes
-    TBUD = (8 if big else 2) * B   # task pool (mean ~1 re-seed task/read)
-    PBUD2 = (128 if big else 32) * B   # pass-2 backward-pool lanes
-    CS = min(2 * B, 16384)     # backward-walk window (cost ~ real breaks)
+    # pass-2 pools: the repeat fixture measures ~0.05 re-seed tasks/read
+    # and ~13 breaks/task; 1*B tasks / 8*B walk lanes keep >=10x headroom
+    # (human error-free reads run ~1 long-SMEM task/read) while the
+    # forward machine's per-iteration break-store writes — the dominant
+    # pass-2 cost, [TBUD, 3, NB2] one-hot selects — shrink 2x. Overflow
+    # still routes to the big-budget device redo, a latency cliff only.
+    TBUD = (8 if big else 1) * B
+    PBUD2 = (128 if big else 8) * B    # pass-2 backward-pool lanes
+    # backward-walk window: finer chunks waste fewer iterations past each
+    # chunk's own max walk (the pool is sorted by walk bound; see
+    # _smem_pass_post) at ~us-scale per-chunk while overhead
+    CS = min(B // 2, 4096)
     q_flat = q.reshape(-1)
     rid = jnp.arange(B, dtype=I32)
 

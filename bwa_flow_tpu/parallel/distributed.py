@@ -27,6 +27,35 @@ import os
 import numpy as np
 
 
+def resolve_coordinator(coordinator: str | None = None) -> str:
+    """One source of truth for the coordinator address: explicit flag ->
+    BWA_TPU_COORDINATOR env -> localhost default. Every consumer (jax
+    coordination service, work-queue host/port derivation) must use this
+    so an env-configured multi-host run cannot have nonzero ranks pulling
+    from localhost (round-3 advisor finding, cli.py:340)."""
+    if coordinator:
+        return coordinator
+    return os.environ.get("BWA_TPU_COORDINATOR", "localhost:9911")
+
+
+def parse_hostport(addr: str, default_port: int = 9911
+                   ) -> tuple[str, int]:
+    """Split host:port accepting IPv6 literals: '[::1]:9911' -> ('::1',
+    9911), '::1' -> ('::1', default), 'host:9911' -> ('host', 9911)."""
+    addr = addr.strip()
+    if addr.startswith("["):            # [v6]:port or [v6]
+        host, _, rest = addr[1:].partition("]")
+        if rest.startswith(":"):
+            return host, int(rest[1:])
+        return host, default_port
+    if addr.count(":") > 1:             # bare IPv6 literal, no port
+        return addr, default_port
+    host, sep, port = addr.rpartition(":")
+    if not sep:
+        return addr, default_port
+    return host, int(port)
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> tuple[int, int]:
@@ -38,9 +67,7 @@ def init_distributed(coordinator: str | None = None,
         return 0, 1
     if process_id is None:
         process_id = int(os.environ["BWA_TPU_PROC_ID"])
-    if coordinator is None:
-        coordinator = os.environ.get("BWA_TPU_COORDINATOR",
-                                     "localhost:9911")
+    coordinator = resolve_coordinator(coordinator)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -67,13 +94,21 @@ class WorkQueueServer:
     shipping read data like MPI_Recv does would waste the wire); each
     index is served to exactly one puller.
 
-    Protocol: client sends ``NEXT\\n``, server replies ``<idx>\\n`` with a
-    monotonically increasing index. The server never says "done" — it
-    does not know the input length up front (batches stream in); a
-    client past the end of its local iterator simply stops pulling.
+    Protocol: client sends ``NEXT <token>\\n``, server replies ``<idx>\\n``
+    with a monotonically increasing index. The token is a per-run
+    identifier all ranks derive from the coordinator address (or
+    BWA_TPU_RUN_TOKEN); a stray connection from another job or a
+    restarted rank with a different token is refused instead of silently
+    consuming indexes (which would lose those batches — no rank would
+    ever align them). The server never says "done" — it does not know
+    the input length up front (batches stream in); a client past the end
+    of its local iterator simply stops pulling. Exact-partition safety
+    net: verify_partition() allgathers per-rank aligned counts at the
+    end and raises on read loss.
     """
 
-    def __init__(self, host: str = "", port: int = 0):
+    def __init__(self, host: str = "", port: int = 0,
+                 token: str | None = None):
         import socket
         import threading
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -81,6 +116,7 @@ class WorkQueueServer:
         self._sock.bind((host, port))
         self._sock.listen(64)
         self.port = self._sock.getsockname()[1]
+        self.token = run_token() if token is None else token
         self._next = 0
         self._lock = threading.Lock()
         self._closed = False
@@ -102,11 +138,15 @@ class WorkQueueServer:
             self._threads.append(t)
 
     def _serve(self, conn):
+        want = b"NEXT " + self.token.encode()
         try:
             f = conn.makefile("rwb")
             while True:
                 line = f.readline()
-                if not line or line.strip() != b"NEXT":
+                if not line or line.strip() != want:
+                    if line:
+                        f.write(b"ERR bad token\n")
+                        f.flush()
                     return
                 with self._lock:
                     idx = self._next
@@ -127,11 +167,24 @@ class WorkQueueServer:
 
 
 class WorkQueueClient:
-    """Puller side; retries the connect while the master starts up."""
+    """Puller side; retries the connect while the master starts up.
 
-    def __init__(self, host: str, port: int, timeout: float = 60.0):
+    The connect window (BWA_TPU_WQ_TIMEOUT, default 60 s) must cover
+    rank-0 startup skew — on big genomes rank 0 spends minutes in index
+    load before serving, so pass a larger timeout (the CLI ties it to
+    the same env). Known failure mode (documented, unhandled): an index
+    pulled by a rank that then crashes is never requeued; surviving
+    ranks finish their shards and block at the final barrier until the
+    job scheduler kills them — same semantics as the reference's MPI
+    (a dead rank hangs the job, mpi_main.cpp)."""
+
+    def __init__(self, host: str, port: int, timeout: float | None = None,
+                 token: str | None = None):
         import socket
         import time as _time
+        if timeout is None:
+            timeout = float(os.environ.get("BWA_TPU_WQ_TIMEOUT", "60"))
+        self.token = run_token() if token is None else token
         deadline = _time.time() + timeout
         err = None
         while _time.time() < deadline:
@@ -148,11 +201,14 @@ class WorkQueueClient:
         self._f = self._sock.makefile("rwb")
 
     def next_index(self) -> int:
-        self._f.write(b"NEXT\n")
+        self._f.write(b"NEXT %s\n" % self.token.encode())
         self._f.flush()
         line = self._f.readline()
         if not line:
             raise ConnectionError("work queue closed mid-run")
+        if line.startswith(b"ERR"):
+            raise ConnectionError(
+                f"work queue refused request: {line.decode().strip()}")
         return int(line)
 
     def close(self):
@@ -162,28 +218,77 @@ class WorkQueueClient:
             pass
 
 
-def pull_batches(batches, client: "WorkQueueClient"):
+def run_token() -> str:
+    """Per-run work-queue token every rank derives identically (no
+    communication needed): BWA_TPU_RUN_TOKEN env, else a digest of the
+    resolved coordinator address + process count."""
+    tok = os.environ.get("BWA_TPU_RUN_TOKEN")
+    if tok:
+        return tok
+    import hashlib
+    basis = (resolve_coordinator(None) + "/"
+             + os.environ.get("BWA_TPU_NPROCS", "1"))
+    return hashlib.sha1(basis.encode()).hexdigest()[:12]
+
+
+def verify_partition(n_local_batches: int, n_aligned: int) -> None:
+    """Exact-partition check at the end of a pull-mode run: every batch
+    index below the (host-identical) input length must have been aligned
+    by exactly one rank. The protocol serves each index once, so the only
+    loss mode is an index consumed by a connection that never aligned it
+    (crashed rank, stray client); that shows up as sum(aligned) <
+    n_batches. Raises RuntimeError on loss — silent read loss is the one
+    unacceptable failure (round-3 advisor finding)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    counts = allgather_i64(np.asarray(
+        [[n_local_batches, n_aligned]], dtype=np.int64))
+    n_batches = int(counts[0, 0])
+    if not np.all(counts[:, 0] == n_batches):
+        raise RuntimeError(
+            f"ranks disagree on input length: {counts[:, 0].tolist()}")
+    total = int(counts[:, 1].sum())
+    if total != n_batches:
+        raise RuntimeError(
+            f"work-queue partition incomplete: {total} of {n_batches} "
+            f"batches aligned (per-rank {counts[:, 1].tolist()}) — "
+            "some indexes were consumed but never aligned")
+
+
+def pull_batches(batches, client: "WorkQueueClient", tally: dict = None):
     """Dynamic batch assignment: align exactly the batch indexes pulled
     from the master's queue. Read-id numbering stays global (every host
     walks the whole local iterator), like shard_batches, so hash_64
-    tie-breaks match a single-host run."""
+    tie-breaks match a single-host run. `tally` (optional dict) receives
+    n_batches/n_aligned for verify_partition."""
+    n_seen = 0
+    n_aligned = 0
     try:
         want = client.next_index()
         for i, batch in enumerate(batches):
+            n_seen = i + 1
             if i == want:
                 yield batch
+                n_aligned += 1
                 want = client.next_index()
     finally:
         client.close()
+        if tally is not None:
+            tally["n_batches"] = n_seen
+            tally["n_aligned"] = n_aligned
+
+
+def workqueue_addr(coordinator: str | None) -> tuple[str, int]:
+    """(host, port) of the work-queue service, derived from the RESOLVED
+    jax.distributed coordinator (flag -> env -> default; the
+    coordinator's own port is taken by the coordination service)."""
+    host, port = parse_hostport(resolve_coordinator(coordinator))
+    return host, port + 137
 
 
 def workqueue_port(coordinator: str | None) -> int:
-    """Deterministic queue port derived from the jax.distributed
-    coordinator (its own port is taken by the coordination service)."""
-    base = 9911
-    if coordinator and ":" in coordinator:
-        base = int(coordinator.rsplit(":", 1)[1])
-    return base + 137
+    return workqueue_addr(coordinator)[1]
 
 
 def allgather_i64(rows: np.ndarray) -> np.ndarray:

@@ -118,3 +118,42 @@ def test_pull_workqueue_order_within_rank():
     out = [b[0] for b in pull_batches(iter([[i] for i in range(7)]), cl)]
     srv.close()
     assert out == list(range(7))
+
+
+def test_parse_hostport_ipv6():
+    from bwa_flow_tpu.parallel.distributed import parse_hostport
+    assert parse_hostport("localhost:9911") == ("localhost", 9911)
+    assert parse_hostport("host") == ("host", 9911)
+    assert parse_hostport("[::1]:9931") == ("::1", 9931)
+    assert parse_hostport("::1") == ("::1", 9911)
+    assert parse_hostport("[fe80::2]") == ("fe80::2", 9911)
+    assert parse_hostport("10.0.0.2:80", 9000) == ("10.0.0.2", 80)
+
+
+def test_workqueue_rejects_bad_token():
+    """A stray connection with the wrong run token must be refused, not
+    silently consume batch indexes (round-3 advisor: silent read loss)."""
+    from bwa_flow_tpu.parallel.distributed import (
+        WorkQueueClient, WorkQueueServer)
+
+    srv = WorkQueueServer(port=0, token="good")
+    ok = WorkQueueClient("127.0.0.1", srv.port, token="good")
+    assert ok.next_index() == 0
+    bad = WorkQueueClient("127.0.0.1", srv.port, token="evil")
+    with pytest.raises(ConnectionError):
+        bad.next_index()
+    # the refused request consumed nothing
+    assert ok.next_index() == 1
+    ok.close()
+    bad.close()
+    srv.close()
+
+
+def test_workqueue_addr_env(monkeypatch):
+    """Work-queue host/port must follow BWA_TPU_COORDINATOR when no flag
+    is given (round-3 advisor: nonzero ranks connected to localhost)."""
+    from bwa_flow_tpu.parallel.distributed import workqueue_addr
+    monkeypatch.setenv("BWA_TPU_COORDINATOR", "10.1.2.3:7000")
+    assert workqueue_addr(None) == ("10.1.2.3", 7137)
+    # explicit flag wins
+    assert workqueue_addr("h:8000") == ("h", 8137)

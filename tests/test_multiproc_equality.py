@@ -24,6 +24,15 @@ def _run_mem(args, env):
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+def _free_port():
+    """A currently-free TCP port (hard-coded ports collide with
+    concurrent test runs or stale listeners — round-3 advisor)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_two_rank_equality(tmp_path):
     rng = np.random.default_rng(77)
     contigs = orc.make_ref(rng, [("chr1", 20000)], repeat_frac=0.1)
@@ -41,12 +50,13 @@ def test_two_rank_equality(tmp_path):
             str(ref), str(fq)]
     _run_mem(["-o", str(tmp_path / "one.sam")] + base, env)
     # two ranks sharing a coordinator
+    coord = f"127.0.0.1:{_free_port()}"
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "bwa_flow_tpu", "mem",
              "--nprocs", "2", "--proc-id", str(pid),
-             "--coordinator", "127.0.0.1:9923",
+             "--coordinator", coord,
              "-o", str(tmp_path / "two.sam")] + base,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env))
@@ -85,15 +95,20 @@ def test_two_rank_equality_device_path(tmp_path):
     base = ["--disable-markdup", "-K", "4000", "-t", "1",
             str(ref), str(fq)]
     _run_mem(["-o", str(tmp_path / "one.sam")] + base, env)
+    # env-configured coordinator (no --coordinator flag): covers the
+    # round-3 advisor finding that the work-queue host/port must derive
+    # from BWA_TPU_COORDINATOR too, not only from the flag
+    coord = f"127.0.0.1:{_free_port()}"
+    env2 = dict(env, BWA_TPU_COORDINATOR=coord)
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "bwa_flow_tpu", "mem",
              "--nprocs", "2", "--proc-id", str(pid),
-             "--coordinator", "127.0.0.1:9931", "--dist", "pull",
+             "--dist", "pull",
              "-o", str(tmp_path / "two.sam")] + base,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env))
+            env=env2))
     for p in procs:
         _, err = p.communicate(timeout=900)
         assert p.returncode == 0, err[-2000:]
