@@ -76,6 +76,10 @@ def _mem_parser() -> argparse.ArgumentParser:
     a("--device-timeout", type=float, dest="device_timeout", default=300.0,
       help="seconds before a device fetch is declared hung and the run "
            "degrades to host (fpgaHangError analog; 0 disables)")
+    a("--local-devices", type=int, dest="local_devices", default=0,
+      help="shard every batch over this many local chips with a "
+           "replicated index (0/1 = single device; the reference's "
+           "one-work-queue-feeding-every-PE model, BWAOCLEnv::getPE)")
     a("--mp-context", dest="mp_context", default="fork",
       choices=("fork", "spawn", "forkserver"),
       help="worker pool start method (spawn is safest under JAX threads; "
@@ -403,7 +407,9 @@ def main_mem(argv: list[str]) -> int:
                              mp_context=args.mp_context,
                              aligner_kw=dict(
                                  validate_every=args.validate_every,
-                                 device_timeout=args.device_timeout))
+                                 device_timeout=args.device_timeout,
+                                 n_local_devices=args.local_devices or
+                                 None))
         try:
             pipe.run(batches(), emit)
         finally:

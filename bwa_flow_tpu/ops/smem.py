@@ -69,6 +69,13 @@ class IntvBatch:
     def lists(self) -> list[list[Intv]]:
         return [self[r] for r in range(len(self))]
 
+    def slice_reads(self, lo: int, hi: int) -> "IntvBatch":
+        """Sub-batch view for reads [lo, hi) (multi-device sharding)."""
+        a, b = int(self.iv_off[lo]), int(self.iv_off[hi])
+        return IntvBatch(self.iv_off[lo:hi + 1] - a, self.x0[a:b],
+                         self.x1[a:b], self.sv[a:b], self.st[a:b],
+                         self.en[a:b])
+
     @classmethod
     def from_lists(cls, all_intvs: list[list[Intv]]) -> "IntvBatch":
         n = len(all_intvs)

@@ -591,13 +591,13 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     M2 = min(128 if big else 64, MAXM)   # per-read pass-2 emission cap
     PBUD1 = (128 if big else 48) * B   # pass-1 backward-pool lanes
     # pass-2 pools: the repeat fixture measures ~0.05 re-seed tasks/read
-    # and ~13 breaks/task; 1*B tasks / 8*B walk lanes keep >=10x headroom
-    # (human error-free reads run ~1 long-SMEM task/read) while the
-    # forward machine's per-iteration break-store writes — the dominant
-    # pass-2 cost, [TBUD, 3, NB2] one-hot selects — shrink 2x. Overflow
-    # still routes to the big-budget device redo, a latency cliff only.
-    TBUD = (8 if big else 1) * B
-    PBUD2 = (128 if big else 8) * B    # pass-2 backward-pool lanes
+    # but low-error reads run ~1-2 long-SMEM tasks/read (a 1*B pool made
+    # clean-read fixtures overflow into the redo path wholesale), so the
+    # task pool stays at 2*B; the walk pool shrinks to measured
+    # occupancy (~0.7 lanes/read, 16*B = >20x headroom). Overflow still
+    # routes to the big-budget device redo, a latency cliff only.
+    TBUD = (8 if big else 2) * B
+    PBUD2 = (128 if big else 16) * B   # pass-2 backward-pool lanes
     # backward-walk window: finer chunks waste fewer iterations past each
     # chunk's own max walk (the pool is sorted by walk bound; see
     # _smem_pass_post) at ~us-scale per-chunk while overhead
@@ -853,6 +853,14 @@ def _start_fetch(arr):
 
 
 _NARROW_CACHE: dict = {}
+_NARROW_MAX = 2
+
+
+def narrow_cache_reserve(n: int) -> None:
+    """Widen the narrow-view LRU for multi-device replication (one view
+    per per-chip DeviceFM replica must stay cached)."""
+    global _NARROW_MAX
+    _NARROW_MAX = max(_NARROW_MAX, n)
 
 # Test hook: force the wide (int64) machine even for sub-2^31 genomes so
 # the human-scale path stays covered by small-genome unit tests.
@@ -874,8 +882,8 @@ def _narrow_dfm(dfm: DeviceFM) -> DeviceFM:
         # bounded: keeping every DeviceFM ever narrowed would pin GBs of
         # device memory for process lifetime in index-reloading services;
         # a size-2 LRU covers the realistic case (old + new index during
-        # a swap)
-        while len(_NARROW_CACHE) > 2:
+        # a swap), widened for per-chip replicas (narrow_cache_reserve)
+        while len(_NARROW_CACHE) > _NARROW_MAX:
             _NARROW_CACHE.pop(next(iter(_NARROW_CACHE)))
     return got[1]
 
@@ -1076,13 +1084,9 @@ def _device_redo(handle: dict, idx: list, seg: dict, counts, sa_vals
     params = _opt_params(opt)
     for c0 in range(0, len(fit), REDO_B):
         sub = fit[c0:c0 + REDO_B]
+        # pad_reads already pow2-buckets (>= 64): no extra padding, and
+        # pool chunking relies on B being a power of two
         q, qlen = pad_reads([reads[b] for b in sub], L)
-        Bb = 8
-        while Bb < len(sub):
-            Bb <<= 1
-        if len(sub) < Bb:
-            q = np.pad(q, ((0, Bb - len(sub)), (0, 0)))
-            qlen = np.pad(qlen, (0, Bb - len(sub)))
         out = collect_intv_device(d, L, MAXB, MAXM, handle["iters"],
                                   jnp.asarray(q), jnp.asarray(qlen),
                                   *params, pack_H=0, big=True)

@@ -89,7 +89,14 @@ def create_driver(opt: MemOpt, fm: FMIndex, seqs, all_intvs, sa_flat,
     return wd, needs
 
 
-pack = lambda wd, stream, reserve=0: _ext.pack(wd, stream, reserve)
+def pack(wd, stream, reserve=0, qsmall=0):
+    """Pack the next wave: (slots bytes, desc bytes, n_small) or None.
+    qsmall > 0 partitions slots [0:n_small) as the small-shape class
+    (both query sides <= qsmall) for the caller's small kernel variant;
+    slots are cost-sorted within each class for tile homogeneity."""
+    return _ext.pack(wd, stream, reserve, qsmall)
+
+
 host_tasks = lambda wd: _ext.host_tasks(wd)
 n_pending = lambda wd: _ext.n_pending(wd)
 

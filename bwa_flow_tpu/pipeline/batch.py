@@ -54,10 +54,35 @@ class BatchAligner:
                  sa_chunk: int = 65536, validate_every: int = 0,
                  validate_sample: int = 2, device_timeout: float = 300.0,
                  drain_max: int | None = None,
-                 harvest_workers: int | None = None):
+                 harvest_workers: int | None = None,
+                 n_local_devices: int | None = None):
         self.opt = opt
         self.fm = fm
         self.dfm = DeviceFM.from_host(fm)
+        # Production multi-chip data parallelism (round-4 verdict task 7):
+        # with n_local_devices > 1 every batch splits into contiguous
+        # per-device shards; the FM-index replicates once per chip (the
+        # reference uploads the genome to every FPGA DDR, BWAOCLEnv::
+        # initPAC/initBWT, /root/reference/src/fpga/BWAOCLEnv.h:67-216)
+        # and each chip runs its own seed machine / SA walks / extension
+        # waves on its shard — the "one work queue feeding every PE"
+        # model (BWAOCLEnv::getPE, :232-269) with the host loop as the
+        # queue. No cross-chip collectives are needed on this path:
+        # per-batch merges (pestat, markdup) already run host-side over
+        # the gathered batch.
+        self.devices = None
+        self.dfms = [self.dfm]
+        if n_local_devices is not None and n_local_devices > 1:
+            import jax
+            devs = jax.local_devices()[:n_local_devices]
+            if len(devs) > 1:
+                self.devices = devs
+                smem_jax.narrow_cache_reserve(len(devs) + 1)
+                self.dfms = [
+                    jax.tree_util.tree_map(
+                        lambda x, d=d: jax.device_put(x, d), self.dfm)
+                    for d in devs]
+                self.dfm = self.dfms[0]
         self.smem_L = smem_L
         self.sa_chunk = sa_chunk
         # tail waves at or below this many pending reads finish on the
@@ -81,6 +106,7 @@ class BatchAligner:
         # fetches include remote compiles)
         self.device_timeout = device_timeout
         self._dev_reads = None
+        self._dev_shards = None
         self._dev_reads_n = 0
         # failure detection / graceful degradation (the reference's FPGA
         # result-validation + setUseAccx(false) pattern,
@@ -172,6 +198,13 @@ class BatchAligner:
         narrow = self.fm.seq_len < 2**31 and not smem_jax.FORCE_WIDE
         dfm_sa = smem_jax._narrow_dfm(self.dfm) if narrow else self.dfm
         pdt = np.int32 if narrow else np.int64
+        # multi-device: probe chunks round-robin over the chips (SA rows
+        # need no read residency — any replica serves any probe)
+        dfm_sas = [dfm_sa]
+        if self.devices is not None:
+            dfm_sas = [smem_jax._narrow_dfm(d) if narrow else d
+                       for d in self.dfms]
+        ci = 0
         for off in range(0, len(rows), self.sa_chunk):
             chunk = rows[off:off + self.sa_chunk]
             # pow2 buckets: few compiled variants, one transfer each way
@@ -180,7 +213,11 @@ class BatchAligner:
                 width <<= 1
             pad = np.zeros(width, dtype=pdt)
             pad[:len(chunk)] = chunk
-            out = sa_batch_packed(dfm_sa, pad)
+            if self.devices is not None:
+                import jax
+                pad = jax.device_put(pad, self.devices[ci % len(dfm_sas)])
+            out = sa_batch_packed(dfm_sas[ci % len(dfm_sas)], pad)
+            ci += 1
             try:
                 out.copy_to_host_async()
             except AttributeError:
@@ -222,12 +259,33 @@ class BatchAligner:
         n_parts > 1 uploads the padded batch once but defers the machine
         sub-calls: seeds_step() launches one part at a time, letting the
         driver interleave them between wave rounds so wave fetches never
-        wait behind one monolithic seed program."""
+        wait behind one monolithic seed program.
+
+        Multi-device: the batch splits into one contiguous shard per
+        chip, each dispatched immediately against that chip's index
+        replica (the shards run concurrently; device queues are async)."""
+        import jax
         import jax.numpy as jnp
+        n = len(seqs)
+        if self.devices is not None:
+            D = len(self.devices)
+            per = -(-max(n, 1) // D)
+            bounds = [(i, min(i + per, n)) for i in range(0, n, per)]
+            h = dict(n_reads=n, seqs=seqs, bounds=bounds, parts=[],
+                     next=len(bounds), q_devs=[], sharded=True)
+            for di, (lo, hi) in enumerate(bounds):
+                q, qlen = smem_jax.pad_reads(seqs[lo:hi], self.smem_L)
+                qd = jax.device_put(q, self.devices[di])
+                qld = jax.device_put(qlen, self.devices[di])
+                sub = smem_jax.seed_dispatch(
+                    self.opt, self.fm, self.dfms[di], seqs[lo:hi],
+                    L=self.smem_L, padded=(qd, qld))
+                h["parts"].append(sub)
+                h["q_devs"].append(qd)
+            return h
         q, qlen = smem_jax.pad_reads(seqs, self.smem_L)
         q_dev = jnp.asarray(q)
         qlen_dev = jnp.asarray(qlen)
-        n = len(seqs)
         if n_parts <= 1 or n < 2 * n_parts:
             bounds = [(0, n)]
         else:
@@ -265,7 +323,12 @@ class BatchAligner:
         while self.seeds_step(h):
             pass
         self.stats["reads"] += h["n_reads"]
-        self._dev_reads = h["q_dev"]
+        if h.get("sharded"):
+            self._dev_reads = None
+            self._dev_shards = (h["q_devs"], h["bounds"])
+        else:
+            self._dev_reads = h["q_dev"]
+            self._dev_shards = None
         self._dev_reads_n = h["n_reads"]
         parts = []
         sa_vals = []
@@ -399,13 +462,24 @@ class BatchAligner:
                     return True
         return False
 
+    @staticmethod
+    def _slice_sa_flat(sa_flat, lo, hi):
+        """Per-shard view of (vals, off, owners) for reads [lo, hi)."""
+        vals, off, owners = sa_flat
+        off_s = off[lo:hi + 1] - off[lo]
+        vals_s = vals[off[lo]:off[hi]]
+        return vals_s, off_s, None
+
     def extend_waves_packed(self, seqs, all_intvs, sa_flat,
                             on_started=None):
         """Native chain + wave-driver path: per-read extension state
         machines live in C++ (_wave), Python only moves descriptor waves
         to the device; returns packed regions (rows, frac, off) that feed
         the native tail directly. Long reads the seed-SW filter applies
-        to run through the golden Python path and are spliced in."""
+        to run through the golden Python path and are spliced in.
+
+        Multi-device: one wave driver per chip shard; the round-robin
+        loop keeps two wave streams in flight per chip."""
         import jax.numpy as jnp
         from ..ops import wave_native
         from ..ops.chain2aln_jax import seed_extend_desc_batch
@@ -416,6 +490,9 @@ class BatchAligner:
         dev_flags = np.fromiter(
             (1 if (i < self._dev_reads_n and len(seqs[i]) <= self.smem_L)
              else 0 for i in range(n)), np.uint8, n)
+        if self.devices is not None and self._dev_shards is not None:
+            return self._extend_waves_sharded(seqs, all_intvs, sa_flat,
+                                              dev_flags, on_started)
         with tracer.span("wave.create"):
             wd, needs = wave_native.create_driver(
                 self.opt, self.fm, seqs, all_intvs, sa_flat, dev_flags,
@@ -454,6 +531,18 @@ class BatchAligner:
             # started AFTER the first two waves pack (below): the device
             # gets first claim on full waves; harvesters chew the reserve
 
+        # kernel shape classes: slots arrive (class, cost)-sorted from the
+        # native pack. With band retries recomputed on host, every packed
+        # task runs at band w, so the DP can never touch target rows past
+        # qlen_side + w (the exact clamp in seed_extend_desc_batch) — the
+        # kernel tmax only needs qmax + w + 1, not the buffer's tmax.
+        # Most tasks fit the small class (both query sides <= 96), whose
+        # row ops cost ~40% less; the two dispatches pipeline on device.
+        W_band = int(self.opt.w)
+        q_small = min(96, qmax)
+        shapes = [(q_small, -(-(q_small + W_band + 1) // 8) * 8),
+                  (qmax, -(-(qmax + W_band + 1) // 8) * 8)]
+
         def pack_run(si):
             # a near-empty wave costs a full device round trip for a few
             # tasks that run in ~ms on the host scalar kernel: drain those
@@ -468,32 +557,43 @@ class BatchAligner:
                         wave_native.drain(wd)
                     return None
             with tracer.span("wave.pack"):
-                r = wave_native.pack(wd, si, -1 if harvesting else 0)
+                r = wave_native.pack(wd, si, -1 if harvesting else 0,
+                                     q_small if q_small < qmax else 0)
             if r is None:
                 return None
-            slots_b, desc_b = r
+            slots_b, desc_b, n_small = r
             count = len(slots_b) // 4
             desc = np.frombuffer(desc_b, np.int64).reshape(11, cap)
-            # pow2-bucketed wave width: tail waves run a small compiled
-            # program instead of the full-cap kernel (few shapes, cached)
-            width = 1024
-            while width < count:
-                width <<= 1
-            width = min(width, cap)
+            segs = [(0, n_small, shapes[0]), (n_small, count, shapes[1])]
+            outs = []
             with tracer.span("wave.dispatch"):
                 from ..ops.chain2aln_jax import narrow_desc
-                out = seed_extend_desc_batch(
-                    qmax, tmax, self.smem_L, self.dfm, self._dev_reads,
-                    jnp.asarray(narrow_desc(desc[:, :width])), *params,
-                    use16=use16)
-                try:
-                    out.copy_to_host_async()
-                except AttributeError:
-                    pass
+                for lo, hi, (qm, tm) in segs:
+                    n_seg = hi - lo
+                    if n_seg <= 0:
+                        continue
+                    # pow2-bucketed width: tail segments run a small
+                    # compiled program (few shapes, persistent-cached)
+                    width = 512
+                    while width < n_seg:
+                        width <<= 1
+                    width = min(width, cap)
+                    sub = np.zeros((11, width), desc.dtype)
+                    sub[7:10] = 1          # padding lanes: h0/wl/wr = 1
+                    sub[:, :n_seg] = desc[:, lo:hi]
+                    out = seed_extend_desc_batch(
+                        qm, tm, self.smem_L, self.dfm, self._dev_reads,
+                        jnp.asarray(narrow_desc(sub)), *params,
+                        use16=use16)
+                    try:
+                        out.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    outs.append((out, n_seg))
             self.stats["waves"] += 1
             self.stats["ext_tasks_device"] += count
             inflight[si] = count
-            return out
+            return outs
 
         try:
             streams = [pack_run(0), pack_run(1)]
@@ -505,9 +605,12 @@ class BatchAligner:
             while streams[0] is not None or streams[1] is not None:
                 if streams[si] is not None:
                     with tracer.span("wave.fetch"):
-                        out = self.fetch(streams[si])
+                        parts = [self.fetch(out)[:, :n_seg]
+                                 for out, n_seg in streams[si]]
                     with tracer.span("wave.apply"):
-                        wave_native.apply_results(wd, si, out)
+                        full = parts[0] if len(parts) == 1 \
+                            else np.concatenate(parts, axis=1)
+                        wave_native.apply_results(wd, si, full)
                     inflight[si] = 0
                     streams[si] = pack_run(si)
                     if on_started is not None:
@@ -524,11 +627,13 @@ class BatchAligner:
                     wave_native.drain(wd)
         finally:
             # the harvesters hold a raw pointer into wd: they MUST exit
-            # before this frame releases it (also on exceptions)
+            # before this frame releases it (also on exceptions; threads
+            # never started — exception before t.start() — can't join)
             if harvesting:
                 stop_ev.set()
                 for t in hthreads:
-                    t.join()
+                    if t.ident is not None:
+                        t.join()
         self.stats["ext_tasks_host"] += wave_native.host_tasks(wd)
         if hasattr(wave_native._ext, "host_breakdown"):
             hq, ht, hs = wave_native._ext.host_breakdown(wd)
@@ -544,6 +649,192 @@ class BatchAligner:
             luts = self._luts_from(owners, vals, n)
             py = {}
             for r in needs:
+                chains = self._chain_python(seqs[r], all_intvs[r], luts[r])
+                regs: list = []
+                for c in chains:
+                    regionops.mem_chain2aln(self.opt, self.fm,
+                                            len(seqs[r]), seqs[r], c, regs)
+                py[r] = regs
+                self.stats["ext_tasks_host"] += sum(
+                    len(c.seeds) for c in chains)
+            rows, frac, off = wave_native.splice(rows, frac, off, py)
+        return rows, frac, off
+
+    def _extend_waves_sharded(self, seqs, all_intvs, sa_flat, dev_flags,
+                              on_started=None):
+        """Per-chip wave drivers over the batch's device shards: each
+        shard owns its reads, chains and state machines; the host loop
+        keeps two wave streams in flight per chip (the reference's
+        per-PE task pipelines fed from one queue, BWAOCLEnv::getPE
+        /root/reference/src/fpga/BWAOCLEnv.h:232-269). Harvester threads
+        steal tail reads round-robin across every shard."""
+        import jax
+        from ..ops import wave_native
+        from ..ops.chain2aln_jax import narrow_desc, seed_extend_desc_batch
+        from ..utils.trace import GLOBAL as tracer
+        q_devs, bounds = self._dev_shards
+        buf = self.bufs[0]
+        cap, qmax, tmax = buf.cap, buf.qmax, buf.tmax
+        n = len(seqs)
+        W_band = int(self.opt.w)
+        q_small = min(96, qmax)
+        shapes = [(q_small, -(-(q_small + W_band + 1) // 8) * 8),
+                  (qmax, -(-(qmax + W_band + 1) // 8) * 8)]
+        params0 = buf._params(self.opt)
+        ctxs = []
+        needs_global: list = []
+        with tracer.span("wave.create"):
+            for di, (lo, hi) in enumerate(bounds):
+                sub_iv = all_intvs.slice_reads(lo, hi) \
+                    if hasattr(all_intvs, "slice_reads") \
+                    else all_intvs[lo:hi]
+                wd, needs = wave_native.create_driver(
+                    self.opt, self.fm, seqs[lo:hi], sub_iv,
+                    self._slice_sa_flat(sa_flat, lo, hi),
+                    np.ascontiguousarray(dev_flags[lo:hi]),
+                    qmax, tmax, cap)
+                ctxs.append(dict(
+                    wd=wd, dev=self.devices[di], dfm=self.dfms[di],
+                    reads=q_devs[di], inflight=[0, 0],
+                    params=tuple(jax.device_put(p, self.devices[di])
+                                 for p in params0)))
+                needs_global.extend(lo + r for r in needs)
+        drain_ok = wave_native.can_drain()
+        harvesting = (self.harvest_workers > 0 and drain_ok
+                      and wave_native.can_steal())
+        stop_ev = None
+        hthreads: list = []
+        if harvesting:
+            import threading
+            stop_ev = threading.Event()
+
+            def _harvest(start):
+                i = start
+                while not stop_ev.is_set():
+                    got = 0
+                    for k in range(len(ctxs)):
+                        got = wave_native.steal(
+                            ctxs[(i + k) % len(ctxs)]["wd"], 16)
+                        if got:
+                            break
+                    i += 1
+                    if got == 0:
+                        stop_ev.wait(0.001)
+
+            hthreads = [threading.Thread(target=_harvest, args=(j,),
+                                         daemon=True)
+                        for j in range(self.harvest_workers)]
+
+        drain_shard = max(64, self.drain_max // max(1, len(ctxs)))
+
+        def pack_run(ctx, si):
+            wd = ctx["wd"]
+            if drain_ok:
+                eligible = wave_native.n_pending(wd) - ctx["inflight"][1 - si]
+                if 0 < eligible <= drain_shard:
+                    if harvesting:
+                        return None   # the harvesters own the tail
+                    with tracer.span("wave.drain"):
+                        wave_native.drain(wd)
+                    return None
+            with tracer.span("wave.pack"):
+                r = wave_native.pack(wd, si, -1 if harvesting else 0,
+                                     q_small if q_small < qmax else 0)
+            if r is None:
+                return None
+            slots_b, desc_b, n_small = r
+            count = len(slots_b) // 4
+            desc = np.frombuffer(desc_b, np.int64).reshape(11, cap)
+            outs = []
+            with tracer.span("wave.dispatch"):
+                for lo_s, hi_s, (qm, tm) in ((0, n_small, shapes[0]),
+                                             (n_small, count, shapes[1])):
+                    n_seg = hi_s - lo_s
+                    if n_seg <= 0:
+                        continue
+                    width = 512
+                    while width < n_seg:
+                        width <<= 1
+                    width = min(width, cap)
+                    sub = np.zeros((11, width), desc.dtype)
+                    sub[7:10] = 1
+                    sub[:, :n_seg] = desc[:, lo_s:hi_s]
+                    dd = jax.device_put(narrow_desc(sub), ctx["dev"])
+                    out = seed_extend_desc_batch(
+                        qm, tm, self.smem_L, ctx["dfm"], ctx["reads"],
+                        dd, *ctx["params"], use16=False)
+                    try:
+                        out.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    outs.append((out, n_seg))
+            self.stats["waves"] += 1
+            self.stats["ext_tasks_device"] += count
+            ctx["inflight"][si] = count
+            return outs
+
+        try:
+            slots_list = [[ctx, si, None] for ctx in ctxs for si in (0, 1)]
+            for s in slots_list:
+                s[2] = pack_run(s[0], s[1])
+            for t in hthreads:
+                t.start()
+            if on_started is not None:
+                on_started()
+            while any(s[2] is not None for s in slots_list):
+                for s in slots_list:
+                    ctx, si, entry = s
+                    if entry is None:
+                        s[2] = pack_run(ctx, si)
+                        continue
+                    with tracer.span("wave.fetch"):
+                        parts = [self.fetch(out)[:, :n_seg]
+                                 for out, n_seg in entry]
+                    with tracer.span("wave.apply"):
+                        full = parts[0] if len(parts) == 1 \
+                            else np.concatenate(parts, axis=1)
+                        wave_native.apply_results(ctx["wd"], si, full)
+                    ctx["inflight"][si] = 0
+                    s[2] = pack_run(ctx, si)
+                    if on_started is not None:
+                        on_started()
+            if harvesting:
+                stop_ev.set()
+            with tracer.span("wave.drain"):
+                for ctx in ctxs:
+                    wave_native.drain(ctx["wd"])
+        finally:
+            if harvesting:
+                stop_ev.set()
+                for t in hthreads:
+                    if t.ident is not None:
+                        t.join()
+        rows_l, frac_l, off_parts = [], [], [np.zeros(1, np.int64)]
+        total = 0
+        for ctx in ctxs:
+            self.stats["ext_tasks_host"] += wave_native.host_tasks(ctx["wd"])
+            if hasattr(wave_native._ext, "host_breakdown"):
+                hq, ht, hs = wave_native._ext.host_breakdown(ctx["wd"])
+                self.stats["host_oversize_q"] += hq
+                self.stats["host_oversize_t"] += ht
+                self.stats["host_sched"] += hs
+            rows, frac, off = wave_native.finish(ctx["wd"])
+            rows_l.append(rows)
+            frac_l.append(frac)
+            off_parts.append(off[1:] + total)
+            total += off[-1]
+        rows = np.concatenate(rows_l) if rows_l else np.zeros((0, 12),
+                                                              np.int64)
+        frac = np.concatenate(frac_l) if frac_l else np.zeros(0)
+        off = np.concatenate(off_parts)
+        if needs_global:
+            from ..ops import chain_native
+            vals, offs, owners = sa_flat
+            if owners is None:
+                owners = chain_native.owners_for(self.opt, all_intvs)
+            luts = self._luts_from(owners, vals, n)
+            py = {}
+            for r in needs_global:
                 chains = self._chain_python(seqs[r], all_intvs[r], luts[r])
                 regs: list = []
                 for c in chains:

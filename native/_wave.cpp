@@ -126,6 +126,9 @@ struct ReadState {
   Seed cur;                          // seed being extended
   std::vector<Reg> regs;
   bool done = false;
+  // speculation bookkeeping: slots of this read still unapplied in the
+  // in-flight wave (apply decrements; 0 -> advance() repicks a task)
+  int32_t slots_in_wave = 0;
 };
 
 struct Driver {
@@ -139,7 +142,12 @@ struct Driver {
   std::vector<uint8_t> seq_store;
   std::vector<int64_t> seq_off;
   std::vector<ReadState> reads;
-  std::vector<std::vector<int32_t>> stream_slots;  // per stream
+  // per-stream slot identity: read + srt position of the packed seed
+  // (kpos = -1 marks the read's advance()-selected pending task)
+  struct SlotRef {
+    int32_t read, kpos;
+  };
+  std::vector<std::vector<SlotRef>> stream_refs;
   // Harvester threads (py_steal) run claimed reads concurrently with the
   // wave loop: the claim scans (pack/steal/drain) serialize on mu;
   // per-read state is owned by whoever set in_flight; shared counters
@@ -490,9 +498,14 @@ bool row_ok(const Driver& D, const ReadState& R, const int32_t* row) {
   return true;
 }
 
-// apply one device row (handle() in pipeline/batch.py): returns true if
-// the read needs re-packing (band retry), false when the task finished
-bool handle_row(Driver& D, ReadState& R, const int32_t* row) {
+// apply one device row for R.cur (stage-0 wave task). bwa's band-
+// doubling retries (bwamem.c:737-744) are detected from the row's
+// max_off fields and recomputed INLINE on the exact scalar kernel
+// (run_host re-runs both sides with the full doubling loops — identical
+// output to a staged device retry, and retries are ~1% of tasks), so a
+// read never re-enters the wave for the same seed and the speculative
+// multi-task packing below stays a simple in-order walk.
+void apply_row(Driver& D, ReadState& R, const int32_t* row) {
   const Opt& o = D.opt;
   int64_t W = o.w;
   int64_t RETRY_OFF = (W >> 1) + (W >> 2);
@@ -502,32 +515,20 @@ bool handle_row(Driver& D, ReadState& R, const int32_t* row) {
           lmo = row[5];
   int64_t rs = row[6], rq = row[7], rt = row[8], rg = row[9], rgs = row[10],
           rmo = row[11];
-  if (R.stage == 0 && has_left && lmo >= RETRY_OFF) {
-    R.stage = 1;
-    return true;
-  }
+  bool retry = (has_left && lmo >= RETRY_OFF) ||
+               (has_right && rs != ls && rmo >= RETRY_OFF);
   int64_t tuple[12];
-  if (R.stage == 0 || R.stage == 1) {
-    int64_t aw0 = (R.stage == 1 && has_left) ? (W << 1) : W;
-    int64_t sc0 = ls;
-    if (has_right && rs != sc0 && rmo >= RETRY_OFF) {
-      R.lfinal[0] = ls; R.lfinal[1] = lq; R.lfinal[2] = lt;
-      R.lfinal[3] = lg; R.lfinal[4] = lgs; R.lfinal[5] = aw0;
-      R.stage = 2;
-      return true;
-    }
+  if (retry) {
+    run_host(o, D, R, tuple);
+    ++D.n_host_tasks;
+    ++D.n_host_sched;
+  } else {
     tuple[0] = ls; tuple[1] = lq; tuple[2] = lt; tuple[3] = lg;
-    tuple[4] = lgs; tuple[5] = aw0;
+    tuple[4] = lgs; tuple[5] = W;
     tuple[6] = rs; tuple[7] = rq; tuple[8] = rt; tuple[9] = rg;
     tuple[10] = rgs; tuple[11] = W;
-  } else {  // stage 2: right half fresh, left half saved
-    for (int i = 0; i < 6; ++i) tuple[i] = R.lfinal[i];
-    tuple[6] = rs; tuple[7] = rq; tuple[8] = rt; tuple[9] = rg;
-    tuple[10] = rgs; tuple[11] = W << 1;
   }
   apply_tuple(o, R, tuple);
-  advance(D, R);
-  return false;
 }
 
 // ------------------------------------------------------------------
@@ -646,7 +647,7 @@ PyObject* py_create(PyObject*, PyObject* args) {
   const uint8_t* dev_ok = (const uint8_t*)bufs[2].buf;
   int64_t n = (int64_t)(bufs[2].len);
   D->reads.resize((size_t)n);
-  D->stream_slots.resize(8);
+  D->stream_refs.resize(8);
   D->n_pending = n;
   for (int64_t r = 0; r < n; ++r) {
     ReadState& R = D->reads[r];
@@ -671,77 +672,155 @@ PyObject* py_create(PyObject*, PyObject* args) {
 // the batch for harvester threads (py_steal) to run on host CPUs while
 // the wave is in flight — the accx_priority work split of the reference
 // (kflow/include/kflow/MapStage.h:78-116) at read granularity.
+//
+// SPECULATIVE MULTI-TASK PACKING (round 4): one task per read per wave
+// serializes a read's ~8 extension tasks across ~8 wave round trips and
+// starves the device on the tail. Task INPUTS never depend on earlier
+// results — only WHETHER a seed extends (seed_skippable) and the rare
+// band retry do — so pack() walks each read's srt cursor ahead and packs
+// up to S seeds per read (S adapts to fill the wave: cap/packable).
+// Apply re-evaluates the skip test in exact bwa order and discards rows
+// for seeds that became skippable (wasted device work, never wrong
+// output); skippability only moves toward skip as regions accumulate,
+// so the pack-time filter rarely overshoots. Wave slots are then sorted
+// by clamped DP extent: the Pallas kernel's while loop exits when a
+// 256-lane tile is all-done, so cost-homogeneous tiles stop early
+// instead of every tile paying the wave's max target length.
 PyObject* py_pack(PyObject*, PyObject* args) {
   PyObject* cap_o;
   int stream;
   long long reserve = 0;
-  if (!PyArg_ParseTuple(args, "Oi|L", &cap_o, &stream, &reserve))
+  long long qsmall = 0;
+  if (!PyArg_ParseTuple(args, "Oi|LL", &cap_o, &stream, &reserve, &qsmall))
     return nullptr;
   Driver* D = (Driver*)PyCapsule_GetPointer(cap_o, "bwa_wave_driver");
   if (!D) return nullptr;
-  std::vector<int32_t>& slots = D->stream_slots[stream];
-  slots.clear();
-  std::vector<int64_t> desc((size_t)DESC_ROWS * D->cap, 0);
-  for (int64_t t = 0; t < D->cap; ++t) {
-    desc[7 * D->cap + t] = 1;   // h0
-    desc[8 * D->cap + t] = 1;   // wl
-    desc[9 * D->cap + t] = 1;   // wr
-  }
-  int64_t count = 0;
-  int64_t W = D->opt.w;
+  std::vector<Driver::SlotRef>& refs = D->stream_refs[stream];
+  refs.clear();
+  struct Cand {
+    int32_t read, kpos;
+    int32_t qcls, cost;
+    Seed s;
+  };
+  std::vector<Cand> cands;
+  const int64_t W = D->opt.w;
+  const int64_t W1 = W + 1;
   std::lock_guard<std::mutex> guard(D->mu);
   int64_t limit = D->cap;
+  int64_t packable = 0;
+  for (const ReadState& R : D->reads)
+    if (!R.in_flight && !R.done) ++packable;  // in_flight first: done
+                                              // races while claimed
   if (reserve != 0) {
-    int64_t packable = 0;
-    for (const ReadState& R : D->reads)
-      if (!R.in_flight && !R.done) ++packable;  // in_flight first: done
-                                                // races while claimed
     // reserve < 0: auto — leave a quarter (cap 1024) for the harvesters
     int64_t res = reserve > 0
                       ? (int64_t)reserve
                       : std::min<int64_t>(1024, packable / 4);
     limit = std::min<int64_t>(limit, packable - res);
   }
-  for (int64_t r = 0; r < (int64_t)D->reads.size() && count < limit;
+  // speculation depth: fill the wave once every pending read has a task
+  int64_t S = packable > 0 ? std::max<int64_t>(
+                                 1, std::min<int64_t>(8, limit / packable))
+                           : 1;
+  auto cost_of = [&](const ReadState& R, const Seed& s) {
+    int64_t ql = s.qbeg, qr = R.l_query - (s.qbeg + s.len);
+    int64_t tl = std::min<int64_t>(
+        std::min<int64_t>(s.rbeg - R.rmax0, ql + W1), D->tmax);
+    int64_t tr = std::min<int64_t>(
+        std::min<int64_t>(R.rmax1 - (s.rbeg + s.len), qr + W1), D->tmax);
+    return (int32_t)(tl + tr);
+  };
+  // qsmall > 0 partitions the wave into a small-shape class (both query
+  // sides < qsmall -> the caller's (qsmall, qsmall+w+1) kernel variant)
+  // and the full-shape class; n_small returns the boundary
+  auto qcls_of = [&](const ReadState& R, const Seed& s) {
+    if (qsmall <= 0) return 0;
+    int64_t ql = s.qbeg, qr = R.l_query - (s.qbeg + s.len);
+    return (ql <= qsmall && qr <= qsmall) ? 0 : 1;
+  };
+  for (int64_t r = 0;
+       r < (int64_t)D->reads.size() && (int64_t)cands.size() < limit;
        ++r) {
     ReadState& R = D->reads[r];
     if (R.in_flight || R.done) continue;  // in_flight first (see above)
     // pending task exists by construction (advance leaves one)
-    int64_t wl = W, wr = W, skip_left = 0, h0 = R.cur.len * D->opt.a;
-    if (R.stage == 1) {
-      wl = W << 1;
-    } else if (R.stage == 2) {
-      wr = W << 1;
-      skip_left = 1;
-      h0 = R.lfinal[0];
+    cands.push_back(Cand{(int32_t)r, -1, qcls_of(R, R.cur),
+                         cost_of(R, R.cur), R.cur});
+    R.in_flight = true;
+    R.slots_in_wave = 1;
+    // speculate further seeds of the CURRENT chain (chain setup mutates
+    // read state; cross-chain speculation is a later extension)
+    for (int32_t j = R.k;
+         j >= 0 && R.slots_in_wave < S && (int64_t)cands.size() < limit;
+         --j) {
+      const Seed& s = R.seeds[R.srt[j]];
+      if (seed_skippable(D->opt, R, s, j)) continue;  // predicted skip
+      if (!task_fits(*D, R, s)) continue;  // runs on host at apply time
+      cands.push_back(Cand{(int32_t)r, j, qcls_of(R, s), cost_of(R, s), s});
+      ++R.slots_in_wave;
     }
-    int64_t t = count++;
-    desc[0 * D->cap + t] = r;
-    desc[1 * D->cap + t] = R.cur.qbeg;
-    desc[2 * D->cap + t] = R.cur.len;
+  }
+  int64_t count = (int64_t)cands.size();
+  if (!count) Py_RETURN_NONE;
+  // cost-homogeneous tiles: stable sort by (shape class, DP extent)
+  std::vector<int32_t> order(cands.size());
+  for (size_t i = 0; i < cands.size(); ++i) order[i] = (int32_t)i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) {
+                     if (cands[a].qcls != cands[b].qcls)
+                       return cands[a].qcls < cands[b].qcls;
+                     return cands[a].cost < cands[b].cost;
+                   });
+  int64_t n_small = 0;
+  for (const Cand& c : cands)
+    if (c.qcls == 0) ++n_small;
+  std::vector<int64_t> desc((size_t)DESC_ROWS * D->cap, 0);
+  for (int64_t t = 0; t < D->cap; ++t) {
+    desc[7 * D->cap + t] = 1;   // h0
+    desc[8 * D->cap + t] = 1;   // wl
+    desc[9 * D->cap + t] = 1;   // wr
+  }
+  std::vector<int32_t> slots;
+  slots.reserve(cands.size());
+  refs.reserve(cands.size());
+  for (int64_t t = 0; t < count; ++t) {
+    const Cand& c = cands[order[t]];
+    const ReadState& R = D->reads[c.read];
+    desc[0 * D->cap + t] = c.read;
+    desc[1 * D->cap + t] = c.s.qbeg;
+    desc[2 * D->cap + t] = c.s.len;
     desc[3 * D->cap + t] = R.l_query;
-    desc[4 * D->cap + t] = R.cur.rbeg;
+    desc[4 * D->cap + t] = c.s.rbeg;
     desc[5 * D->cap + t] = R.rmax0;
     desc[6 * D->cap + t] = R.rmax1;
-    desc[7 * D->cap + t] = h0;
-    desc[8 * D->cap + t] = wl;
-    desc[9 * D->cap + t] = wr;
-    desc[10 * D->cap + t] = skip_left;
-    R.in_flight = true;
-    slots.push_back((int32_t)r);
+    desc[7 * D->cap + t] = (int64_t)c.s.len * D->opt.a;
+    desc[8 * D->cap + t] = W;
+    desc[9 * D->cap + t] = W;
+    desc[10 * D->cap + t] = 0;
+    refs.push_back(Driver::SlotRef{c.read, c.kpos});
+    slots.push_back(c.read);
   }
-  if (!count) Py_RETURN_NONE;
   return Py_BuildValue(
-      "(NN)",
+      "(NNL)",
       PyBytes_FromStringAndSize((const char*)slots.data(),
                                 (Py_ssize_t)(slots.size() * 4)),
       PyBytes_FromStringAndSize((const char*)desc.data(),
-                                (Py_ssize_t)(desc.size() * 8)));
+                                (Py_ssize_t)(desc.size() * 8)),
+      (long long)n_small);
 }
 
 // apply(cap_obj, stream, out bytes i32[12*width]) — width is inferred
 // from the buffer (the driver buckets wave widths below cap so tail
-// waves run small device programs)
+// waves run small device programs).
+//
+// Slots arrive cost-sorted (tile homogeneity); semantically each read's
+// seeds must be processed in srt order with the skip test evaluated
+// against the regions accumulated SO FAR (exact bwa semantics,
+// bwamem.c:700-714), so apply re-orders processing by (read, kpos desc,
+// pending-task first) and walks each read's cursor: unpacked seeds in
+// between are either (re-confirmed) skippable — marked dead — or run
+// inline on the scalar kernel; packed seeds re-evaluate the skip test
+// and discard their device row when it now says skip.
 PyObject* py_apply(PyObject*, PyObject* args) {
   PyObject *cap_o, *out_o;
   int stream;
@@ -753,30 +832,85 @@ PyObject* py_apply(PyObject*, PyObject* args) {
   if (!get_buf(out_o, &ob, "out")) return nullptr;
   const int32_t* out = (const int32_t*)ob.buf;
   int64_t width = (int64_t)(ob.len / (Py_ssize_t)(4 * OUT_ROWS));
-  std::vector<int32_t> slots = D->stream_slots[stream];
-  if ((int64_t)slots.size() > width) {
+  std::vector<Driver::SlotRef> refs = D->stream_refs[stream];
+  if ((int64_t)refs.size() > width) {
     PyBuffer_Release(&ob);
     PyErr_SetString(PyExc_ValueError, "apply: result narrower than wave");
     return nullptr;
   }
+  // processing order: by read, pending task (-1) first, then kpos
+  // descending (the cursor walks downward)
+  std::vector<int32_t> proc(refs.size());
+  for (size_t i = 0; i < proc.size(); ++i) proc[i] = (int32_t)i;
+  std::stable_sort(proc.begin(), proc.end(), [&](int32_t a, int32_t b) {
+    if (refs[a].read != refs[b].read) return refs[a].read < refs[b].read;
+    int32_t ka = refs[a].kpos < 0 ? INT32_MAX : refs[a].kpos;
+    int32_t kb = refs[b].kpos < 0 ? INT32_MAX : refs[b].kpos;
+    return ka > kb;
+  });
   int64_t bad = -1;
   Py_BEGIN_ALLOW_THREADS
   {
-    // hold mu across the whole batch: handle_row mutates read state and
-    // in_flight must stay set until it finishes (a harvester claiming a
-    // half-applied read would race its mutation)
+    // hold mu across the whole batch: apply mutates read state and
+    // in_flight must stay set until the read's last slot finishes (a
+    // harvester claiming a half-applied read would race its mutation)
     std::lock_guard<std::mutex> guard(D->mu);
-    for (size_t i = 0; i < slots.size(); ++i) {
-      ReadState& R = D->reads[slots[i]];
+    for (size_t pi = 0; pi < proc.size() && bad < 0; ++pi) {
+      const Driver::SlotRef ref = refs[proc[pi]];
+      ReadState& R = D->reads[ref.read];
       int32_t row[OUT_ROWS];
       for (int f = 0; f < OUT_ROWS; ++f)
-        row[f] = out[(int64_t)f * width + (int64_t)i];
-      if (!row_ok(*D, R, row)) {
-        bad = (int64_t)slots[i];
-        break;
+        row[f] = out[(int64_t)f * width + (int64_t)proc[pi]];
+      if (ref.kpos < 0) {
+        // the advance()-selected pending task: skip test already done
+        R.stage = 0;
+        if (!row_ok(*D, R, row)) {
+          bad = (int64_t)ref.read;
+          break;
+        }
+        apply_row(*D, R, row);
+      } else {
+        // walk the cursor down to the speculated seed, resolving the
+        // seeds in between exactly in order
+        while (R.k > ref.kpos) {
+          const Seed s = R.seeds[R.srt[R.k]];
+          if (seed_skippable(D->opt, R, s, R.k)) {
+            R.srt_alive[R.k] = 0;
+          } else {
+            // unpacked (oversized or past the spec budget): run now
+            R.cur = s;
+            int64_t t[12];
+            run_host(D->opt, *D, R, t);
+            apply_tuple(D->opt, R, t);
+            ++D->n_host_tasks;
+            if (s.qbeg > D->qmax ||
+                R.l_query - (s.qbeg + s.len) > D->qmax)
+              ++D->n_host_q;
+            else if (!task_fits(*D, R, s))
+              ++D->n_host_t;
+            else
+              ++D->n_host_sched;
+          }
+          --R.k;
+        }
+        const Seed s = R.seeds[R.srt[R.k]];
+        if (seed_skippable(D->opt, R, s, R.k)) {
+          R.srt_alive[R.k] = 0;  // became skippable: discard the row
+        } else {
+          R.cur = s;
+          R.stage = 0;
+          if (!row_ok(*D, R, row)) {
+            bad = (int64_t)ref.read;
+            break;
+          }
+          apply_row(*D, R, row);
+        }
+        --R.k;
       }
-      handle_row(*D, R, row);
-      R.in_flight = false;
+      if (--R.slots_in_wave == 0) {
+        advance(*D, R);
+        R.in_flight = false;
+      }
     }
   }
   Py_END_ALLOW_THREADS

@@ -88,7 +88,7 @@ def main():
     MAXB, MAXM, ITERS = 64, 128, L * 16
     NB = max(MAXB, 128)
     NB2, NP3 = 32, 24
-    PBUD1, TBUD, PBUD2 = 48 * B, 1 * B, 8 * B
+    PBUD1, TBUD, PBUD2 = 48 * B, 2 * B, 16 * B
     CS = min(B // 2, 4096)
     I32 = jnp.int32
     params = (jnp.asarray(opt.min_seed_len, I32),

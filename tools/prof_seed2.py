@@ -80,7 +80,7 @@ def main():
     NB = max(MAXB, 128)
     NB2, NP3 = 64, 24
     M2 = 64
-    PBUD1, TBUD, PBUD2 = 48 * B, 1 * B, 8 * B
+    PBUD1, TBUD, PBUD2 = 48 * B, 2 * B, 16 * B
     CS = min(B // 2, 4096)
     params = (jnp.asarray(opt.min_seed_len, I32),
               jnp.asarray(opt.split_len, I32),
