@@ -484,14 +484,15 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     # a few probes (measured 0.35 ms/read -> ~0.2 ms/read on the repeat
     # fixture). The argsort costs ~1 ms, far under what it saves.
     i_b0_all = (s["brk_x"] - 1).reshape(-1)
-    order_key = jnp.where(lane_ok, i_b0_all[src], BIG32)
-    perm = jnp.argsort(order_key)
-    src = src[perm]
-    lane_ok = jnp.arange(PBUD, dtype=I32) < lane_ok.sum().astype(I32)
-    inv = jnp.zeros(PBUD + 1, I32).at[perm].set(
-        jnp.arange(PBUD, dtype=I32), mode="drop")
-    inv = inv.at[PBUD].set(PBUD)
-    dst = inv[dst]                                    # compose permutation
+    if SORT_BWD_POOL:
+        order_key = jnp.where(lane_ok, i_b0_all[src], BIG32)
+        perm = jnp.argsort(order_key)
+        src = src[perm]
+        lane_ok = jnp.arange(PBUD, dtype=I32) < lane_ok.sum().astype(I32)
+        inv = jnp.zeros(PBUD + 1, I32).at[perm].set(
+            jnp.arange(PBUD, dtype=I32), mode="drop")
+        inv = inv.at[PBUD].set(PBUD)
+        dst = inv[dst]                                # compose permutation
     lane_nl = src // NB                               # owning lane row
     bst0 = s["brk_kls"].transpose(0, 2, 1).reshape(NL * NB, 3)[src]
     i_b0 = i_b0_all[src]
@@ -533,6 +534,8 @@ def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
     return _smem_pass_post(dfm, L, NB, q_flat, read_id, mi, min_seed_len,
                            s, PBUD, CS)
 
+
+SORT_BWD_POOL = True  # walk-length-sorted backward pools (perf knob)
 
 MAXO = 64  # per-read SA-occurrence budget for the fused seed+SA output
 
@@ -590,14 +593,14 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     NP3 = 48 if big else 24    # pass-3 mem slots
     M2 = min(128 if big else 64, MAXM)   # per-read pass-2 emission cap
     PBUD1 = (128 if big else 48) * B   # pass-1 backward-pool lanes
-    # pass-2 pools: the repeat fixture measures ~0.05 re-seed tasks/read
-    # but low-error reads run ~1-2 long-SMEM tasks/read (a 1*B pool made
-    # clean-read fixtures overflow into the redo path wholesale), so the
-    # task pool stays at 2*B; the walk pool shrinks to measured
-    # occupancy (~0.7 lanes/read, 16*B = >20x headroom). Overflow still
+    # pass-2 pools: low-error repeat-fixture batches measure ~1.8 re-seed
+    # tasks/read (7,472/4096, long unique SMEMs) x ~13 breaks/task ≈
+    # 24 walk lanes/read — a 16*B walk pool overflowed 35% of the batch
+    # into the device-redo cliff (measured: e2e 3.8k -> 2.6k reads/s).
+    # 32*B holds the measured p100 with ~1.3x headroom; overflow still
     # routes to the big-budget device redo, a latency cliff only.
     TBUD = (8 if big else 2) * B
-    PBUD2 = (128 if big else 16) * B   # pass-2 backward-pool lanes
+    PBUD2 = (128 if big else 32) * B   # pass-2 backward-pool lanes
     # backward-walk window: finer chunks waste fewer iterations past each
     # chunk's own max walk (the pool is sorted by walk bound; see
     # _smem_pass_post) at ~us-scale per-chunk while overhead
