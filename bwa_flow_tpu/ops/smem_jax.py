@@ -537,7 +537,9 @@ def _smem_pass(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
 
 SORT_BWD_POOL = True  # walk-length-sorted backward pools (perf knob)
 
-MAXO = 64  # per-read SA-occurrence budget for the fused seed+SA output
+MAXO = 64  # legacy per-read fused-SA budget (the fused path now uses a
+# batch-global CAPO_PER*B ragged pool covering every read; MAXO remains
+# only as a floor in older comments/tests)
 
 # overflow-source bits (the ovf output is an int32 bitmask; nonzero ->
 # host golden redo). Production counters aggregate these for tuning.
@@ -601,9 +603,11 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # routes to the big-budget device redo, a latency cliff only.
     TBUD = (8 if big else 2) * B
     PBUD2 = (128 if big else 32) * B   # pass-2 backward-pool lanes
-    # backward-walk window: finer chunks waste fewer iterations past each
-    # chunk's own max walk (the pool is sorted by walk bound; see
-    # _smem_pass_post) at ~us-scale per-chunk while overhead
+    # backward-walk window: each chunk is a while_loop over a CS-lane
+    # slice of the sorted pool, exiting at the chunk's own max walk.
+    # Finer chunks waste fewer dead iterations but pay a fixed per-chunk
+    # slicing/loop cost that DOMINATES below ~8k lanes (repeat-fixture
+    # sweep: pass-1 = 233 ms @ CS 2048, 158 ms @ 8192, 165 @ 16384)
     CS = min(B // 2, 4096)
     q_flat = q.reshape(-1)
     rid = jnp.arange(B, dtype=I32)
@@ -708,38 +712,40 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     mems = jnp.take_along_axis(mems, order[:, None, :], axis=2)[:, :, :MAXM]
     slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
 
-    # fused on-device SA resolution of the occurrence enumeration
+    # fused on-device SA resolution of the FULL occurrence enumeration:
+    # probes land in a batch-global ragged pool (CAPO lanes) in exactly
+    # sa_probe_layout's order (read-major, sorted-slot-major, occurrence
+    # j at x0 + j*step with cnt = min(s, max_occ) sampling — bwa's
+    # mem_chain occurrence rule). Covering EVERY read here removes the
+    # separate SA probe program from the device queue entirely, which is
+    # what lets batch N+1's seed program dispatch at iteration top and
+    # keep the device 100% busy (a per-read [B, 64] budget left the ~6%
+    # heaviest repeat reads on a dependent probe round trip).
     if dfm.sa_dense is not None:
+        CAPO = CAPO_PER * B
         valid = slot_i < n_mem[:, None]
         s_col = jnp.where(valid, mems[:, 2, :], 0)           # [B, MAXM]
         x0_col = mems[:, 0, :]
         over = s_col > max_occ
-        # clamp per-slot counts at MAXO+1: totals past the fused budget
-        # only need to stay past it (callers fall back to the probe
-        # path), and the clamp keeps the int32 cumsum overflow-free for
-        # any max_occ
-        cnt = jnp.minimum(jnp.where(over, max_occ, s_col), MAXO + 1)
-        step = jnp.where(over, s_col // jnp.maximum(max_occ, 1), 1)
-        cum = jnp.cumsum(cnt, axis=1)
-        cum0 = jnp.concatenate(
-            [jnp.zeros((B, 1), dt), cum[:, :-1]], axis=1)
-        occ_total = cum[:, -1].astype(I32)
-        oo = jnp.arange(MAXO, dtype=dt)[None, :]             # [1, MAXO]
-
-        def fill(j, rows):
-            lo = jax.lax.dynamic_index_in_dim(cum0, j, 1)     # [B, 1]
-            hi = jax.lax.dynamic_index_in_dim(cum, j, 1)
-            x0j = jax.lax.dynamic_index_in_dim(x0_col, j, 1)
-            stj = jax.lax.dynamic_index_in_dim(step, j, 1)
-            m = (oo >= lo) & (oo < hi)
-            return jnp.where(m, x0j + (oo - lo) * stj, rows)
-
-        rows = jax.lax.fori_loop(0, MAXM, fill,
-                                 jnp.zeros((B, MAXO), dt))
-        idx = jnp.clip(rows, 0, dfm.sa_dense.shape[0] - 1).astype(I32)
-        occ_sa = dfm.sa_dense[idx].astype(dt)
+        cnt = jnp.where(over, max_occ.astype(dt), s_col).astype(I32)
+        step = jnp.where(over, s_col // jnp.maximum(max_occ, 1),
+                         dt.type(1))
+        cntf = cnt.reshape(-1)                               # [B*MAXM]
+        gcum = jnp.cumsum(cntf)
+        gcum0 = gcum - cntf
+        occ_total = (gcum.reshape(B, MAXM)[:, -1]
+                     - gcum0.reshape(B, MAXM)[:, 0]).astype(I32)
+        p = jnp.arange(CAPO, dtype=I32)
+        seg = jnp.clip(jnp.searchsorted(gcum, p, side="right"),
+                       0, B * MAXM - 1).astype(I32)
+        ok = p < jnp.minimum(gcum[-1], CAPO)
+        rows = (x0_col.reshape(-1)[seg]
+                + (p - gcum0[seg]).astype(dt) * step.reshape(-1)[seg])
+        idx = jnp.clip(jnp.where(ok, rows, 0), 0,
+                       dfm.sa_dense.shape[0] - 1).astype(I32)
+        occ_sa = jnp.where(ok, dfm.sa_dense[idx].astype(dt), dt.type(0))
     else:
-        occ_sa = jnp.zeros((B, MAXO), jnp.int64)
+        occ_sa = jnp.zeros(1, jnp.int64)
         occ_total = jnp.full((B,), -1, I32)   # sentinel: not resolved
     if pack_H:
         # fused narrow bundle: the host fetches ONE int32 array per batch
@@ -759,11 +765,12 @@ def _pack_meta(n_mem, ovf, occ_total):
 
 # ragged-bundle sizing: flat mem entries / fused-SA values per read
 # (GLOBAL pools, so only the batch MEAN matters: measured on the
-# repeat-realistic bench genome mean ~9.0 mems and ~12.6 fused-SA values
-# per read; a batch-mean above these falls back to a dense refetch — a
-# latency cliff, not a correctness one)
+# repeat-realistic bench genome mean ~9.0 mems per read and ~26 SA
+# occurrences per read with the FULL enumeration fused — reads past the
+# pool fall back per-read to the probe path / dense refetch, a latency
+# cliff, not a correctness one)
 CAPM_PER = 14
-CAPO_PER = 18
+CAPO_PER = 40
 
 
 def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
@@ -807,14 +814,14 @@ def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
     # the host chain/SA stages, so it stays on device; the lists() view
     # (tests / Python fallbacks) refetches it from the dense mems
     fm_s = flat(mems[:, 2, :])
-    ocnt = jnp.where((occ_total >= 0) & (occ_total <= MAXO), occ_total, 0)
-    baseo = jnp.cumsum(ocnt) - ocnt
-    total_o = baseo[-1] + ocnt[-1]
-    oo = jnp.arange(occ_sa.shape[1], dtype=I32)[None, :]
-    dsto = jnp.where(oo < ocnt[:, None], baseo[:, None] + oo,
-                     CAPO).reshape(-1)
-    fo = jnp.zeros(CAPO, I32).at[dsto].set(
-        occ_sa.astype(I32).reshape(-1), mode="drop")
+    # occ_sa is ALREADY the global ragged pool in transfer layout
+    # (read-major segments of cumsum(occ_total)); only the total header
+    # is needed for the host's per-read fit checks
+    ocnt = jnp.where(occ_total >= 0, occ_total, 0)
+    total_o = jnp.sum(ocnt)
+    fo = occ_sa.astype(I32)
+    if fo.shape[0] != CAPO:               # no-dense-SA sentinel shape
+        fo = jnp.zeros(CAPO, I32)
     hdr = jnp.stack([total_m, total_o, jnp.zeros((), I32),
                      jnp.zeros((), I32)])
     return jnp.concatenate([hdr, n_mem.astype(I32), ovf.astype(I32),
@@ -972,8 +979,10 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
             flats = (fm_k, np.zeros(total_m, np.int32), fm_s,
                      (fm_ie >> 16).astype(np.int32),
                      (fm_ie & 0xFFFF).astype(np.int32))
-        if total_o <= CAPO:
-            occ_flat = pk[o + 3 * CAPM:o + 3 * CAPM + CAPO]
+        # global ragged pool: reads whose segment fits inside CAPO are
+        # fused even when the batch TOTAL overflows (per-read fit check
+        # below); the tail past CAPO falls back to the probe path
+        occ_flat = pk[o + 3 * CAPM:o + 3 * CAPM + CAPO]
     else:
         meta = fetch(handle["meta"])
         n_mem = meta[0]
@@ -1024,19 +1033,20 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
     # no dense SA)
     sa_vals: list = [None] * n
     occ_np = None
-    if packed is not None:
-        ocnt = np.where((occ_total >= 0) & (occ_total <= MAXO),
-                        occ_total, 0)
-        baseo = np.cumsum(ocnt, dtype=np.int64) - ocnt
+    ocnt = np.where(occ_total >= 0, occ_total, 0)
+    baseo = np.cumsum(ocnt, dtype=np.int64) - ocnt
+    CAPO_n = len(occ_flat) if occ_flat is not None else 0
     for b in np.nonzero(~redo)[0]:
         t = int(occ_total[b])
-        if 0 <= t <= MAXO:
+        if t >= 0:
             if occ_flat is not None:
-                sa_vals[b] = occ_flat[baseo[b]:baseo[b] + t]
-            elif packed is None:
+                if baseo[b] + t <= CAPO_n:   # segment fully in the pool
+                    sa_vals[b] = occ_flat[baseo[b]:baseo[b] + t]
+            elif packed is None and handle.get("occ_sa") is not None:
                 if occ_np is None:
                     occ_np = fetch(handle["occ_sa"])
-                sa_vals[b] = occ_np[b, :t]
+                if len(occ_np) > 1 and baseo[b] + t <= len(occ_np):
+                    sa_vals[b] = occ_np[baseo[b]:baseo[b] + t]
     handle["sa_vals"] = sa_vals
     if redo.any():
         # splice redone reads in (rare: budget overflow / long reads).
@@ -1095,6 +1105,8 @@ def _device_redo(handle: dict, idx: list, seg: dict, counts, sa_vals
                                   *params, pack_H=0, big=True)
         mems, n_mem, ovf, occ_sa, occ_total = (np.asarray(o) for o in out)
         ish = INFO_SHIFT[mems.dtype]
+        ocnt_r = np.where(occ_total >= 0, occ_total, 0)
+        baseo_r = np.cumsum(ocnt_r, dtype=np.int64) - ocnt_r
         for j, b in enumerate(sub):
             if ovf[j]:
                 rest.append(b)
@@ -1108,8 +1120,9 @@ def _device_redo(handle: dict, idx: list, seg: dict, counts, sa_vals
                             & ((1 << ish) - 1)).astype(np.int32)
             counts[b] = c
             t = int(occ_total[j])
-            if 0 <= t <= MAXO:
-                sa_vals[b] = occ_sa[j, :t]
+            if (t >= 0 and occ_sa.ndim == 1 and len(occ_sa) > 1
+                    and baseo_r[j] + t <= len(occ_sa)):
+                sa_vals[b] = occ_sa[baseo_r[j]:baseo_r[j] + t]
     return rest
 
 

@@ -566,8 +566,10 @@ class BatchAligner:
             desc = np.frombuffer(desc_b, np.int64).reshape(11, cap)
             segs = [(0, n_small, shapes[0]), (n_small, count, shapes[1])]
             outs = []
+            meta = []
             with tracer.span("wave.dispatch"):
                 from ..ops.chain2aln_jax import narrow_desc
+                off = 0
                 for lo, hi, (qm, tm) in segs:
                     n_seg = hi - lo
                     if n_seg <= 0:
@@ -585,15 +587,21 @@ class BatchAligner:
                         qm, tm, self.smem_L, self.dfm, self._dev_reads,
                         jnp.asarray(narrow_desc(sub)), *params,
                         use16=use16)
-                    try:
-                        out.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                    outs.append((out, n_seg))
+                    outs.append(out)
+                    meta.append((off, n_seg))
+                    off += width
+                # one result array per wave -> ONE blocking tunnel fetch
+                # (each fetch costs a full RPC round trip, ~25-45 ms)
+                full = outs[0] if len(outs) == 1 \
+                    else jnp.concatenate(outs, axis=1)
+                try:
+                    full.copy_to_host_async()
+                except AttributeError:
+                    pass
             self.stats["waves"] += 1
             self.stats["ext_tasks_device"] += count
             inflight[si] = count
-            return outs
+            return full, meta
 
         try:
             streams = [pack_run(0), pack_run(1)]
@@ -604,10 +612,12 @@ class BatchAligner:
             si = 0
             while streams[0] is not None or streams[1] is not None:
                 if streams[si] is not None:
+                    dev_full, meta = streams[si]
                     with tracer.span("wave.fetch"):
-                        parts = [self.fetch(out)[:, :n_seg]
-                                 for out, n_seg in streams[si]]
+                        got = self.fetch(dev_full)
                     with tracer.span("wave.apply"):
+                        parts = [got[:, off:off + n_seg]
+                                 for off, n_seg in meta]
                         full = parts[0] if len(parts) == 1 \
                             else np.concatenate(parts, axis=1)
                         wave_native.apply_results(wd, si, full)
@@ -620,11 +630,12 @@ class BatchAligner:
                     streams[o] = pack_run(o)
                 si = o
             if harvesting:
-                stop_ev.set()
-                # finish the unclaimed remainder here while the
-                # harvesters complete their final claimed batches
+                # the main thread JOINS the harvest (4th worker) until no
+                # claimable reads remain; harvesters exit once signalled
                 with tracer.span("wave.drain"):
-                    wave_native.drain(wd)
+                    while wave_native.steal(wd, 16):
+                        pass
+                stop_ev.set()
         finally:
             # the harvesters hold a raw pointer into wd: they MUST exit
             # before this frame releases it (also on exceptions; threads
@@ -746,7 +757,10 @@ class BatchAligner:
             count = len(slots_b) // 4
             desc = np.frombuffer(desc_b, np.int64).reshape(11, cap)
             outs = []
+            meta = []
             with tracer.span("wave.dispatch"):
+                import jax.numpy as jnp
+                off = 0
                 for lo_s, hi_s, (qm, tm) in ((0, n_small, shapes[0]),
                                              (n_small, count, shapes[1])):
                     n_seg = hi_s - lo_s
@@ -763,15 +777,20 @@ class BatchAligner:
                     out = seed_extend_desc_batch(
                         qm, tm, self.smem_L, ctx["dfm"], ctx["reads"],
                         dd, *ctx["params"], use16=False)
-                    try:
-                        out.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                    outs.append((out, n_seg))
+                    outs.append(out)
+                    meta.append((off, n_seg))
+                    off += width
+                # one result array per wave -> ONE blocking fetch
+                full = outs[0] if len(outs) == 1 \
+                    else jnp.concatenate(outs, axis=1)
+                try:
+                    full.copy_to_host_async()
+                except AttributeError:
+                    pass
             self.stats["waves"] += 1
             self.stats["ext_tasks_device"] += count
             ctx["inflight"][si] = count
-            return outs
+            return full, meta
 
         try:
             slots_list = [[ctx, si, None] for ctx in ctxs for si in (0, 1)]
@@ -787,10 +806,11 @@ class BatchAligner:
                     if entry is None:
                         s[2] = pack_run(ctx, si)
                         continue
+                    dev_full, meta = entry
                     with tracer.span("wave.fetch"):
-                        parts = [self.fetch(out)[:, :n_seg]
-                                 for out, n_seg in entry]
+                        got = self.fetch(dev_full)
                     with tracer.span("wave.apply"):
+                        parts = [got[:, o:o + n_seg] for o, n_seg in meta]
                         full = parts[0] if len(parts) == 1 \
                             else np.concatenate(parts, axis=1)
                         wave_native.apply_results(ctx["wd"], si, full)

@@ -360,25 +360,10 @@ class AlignPipeline:
             seqs = [r.seq for r in cur]
             regs = None
             intvs = luts = None
-            if cur_h is not None and self.ba.device_ok:
-                try:
-                    with tracer.span("seed"):
-                        intvs = self.ba.seeds_collect(cur_h)
-                    with tracer.span("sa"):
-                        luts = self.ba.resolve_sa_flat(intvs, cur_h)
-                except Exception as e:
-                    self._degrade(e)
             nxt = next(it, None)
             nxt_box: dict = {}
 
             def dispatch_next():
-                # device seeds batch N+1 as soon as batch N's main wave
-                # is ON the device: result transfers ride a separate
-                # tunnel channel, so the wave fetch does not wait behind
-                # the queued seed program, and ~the whole wave round of
-                # seeding compute overlaps the wave fetch + host tail.
-                # (Tail rounds nearly always finish via the host drain,
-                # so they don't queue behind the seed program either.)
                 if nxt is None or not self.ba.device_ok:
                     return
                 try:
@@ -388,6 +373,24 @@ class AlignPipeline:
                 except Exception as e:
                     self._degrade(e)
 
+            # enqueue batch N+1's seed program at iteration TOP: batch
+            # N's seed program has finished (its collect only fetches)
+            # and SA resolution is fused into the seed program on
+            # dense-SA indexes, so nothing of batch N queues behind it —
+            # the device crunches batch N+1 for the WHOLE of batch N's
+            # collect + host-parallel extension + tail window (the
+            # device-idle gap this closes measured ~200 ms/batch). On
+            # probe-path indexes (no dense SA) batch N's probes queue
+            # behind it: same steady-state throughput, higher latency.
+            dispatch_next()
+            if cur_h is not None and self.ba.device_ok:
+                try:
+                    with tracer.span("seed"):
+                        intvs = self.ba.seeds_collect(cur_h)
+                    with tracer.span("sa"):
+                        luts = self.ba.resolve_sa_flat(intvs, cur_h)
+                except Exception as e:
+                    self._degrade(e)
             if intvs is not None and self.ba.device_ok:
                 try:
                     from ..ops import wave_native

@@ -131,6 +131,16 @@ struct ReadState {
   int32_t slots_in_wave = 0;
 };
 
+// Per-chain precomputed context: rmax window and srt order depend only
+// on the chain's seeds (never on extension results, bwamem.c:650-668),
+// so they are computed once at driver creation — which lets pack()
+// speculate tasks from chains BEYOND the read's current one and
+// setup_chain() skip the recompute.
+struct ChainPre {
+  int64_t rmax0 = 0, rmax1 = 0;
+  std::vector<int32_t> srt;
+};
+
 struct Driver {
   Opt opt;
   Bns bns;
@@ -139,13 +149,15 @@ struct Driver {
   std::vector<int64_t> chain_off, seed_off, seeds_flat;
   std::vector<int32_t> chain_rid;
   std::vector<double> chain_frac;
+  std::vector<ChainPre> chains;      // per absolute chain index
   std::vector<uint8_t> seq_store;
   std::vector<int64_t> seq_off;
   std::vector<ReadState> reads;
-  // per-stream slot identity: read + srt position of the packed seed
-  // (kpos = -1 marks the read's advance()-selected pending task)
+  // per-stream slot identity: owning chain + srt position of the packed
+  // seed (kpos = -1 marks the read's advance()-selected pending task)
   struct SlotRef {
     int32_t read, kpos;
+    int64_t chain;
   };
   std::vector<std::vector<SlotRef>> stream_refs;
   // Harvester threads (py_steal) run claimed reads concurrently with the
@@ -187,6 +199,55 @@ void refblock_free(PyObject* cap) {
 
 // ---------- chain setup + seed stepping ------------------------------
 
+Seed seed_at(const Driver& D, int64_t ci, int32_t idx) {
+  const int64_t* f = D.seeds_flat.data() + (D.seed_off[ci] + idx) * 4;
+  return Seed{f[0], (int32_t)f[1], (int32_t)f[2], (int32_t)f[3]};
+}
+
+// per-chain rmax window + srt order (bwamem.c:650-668) — result-
+// independent, computed once at creation (enables cross-chain pack
+// speculation and removes the per-transition recompute)
+void chain_precompute(Driver& D, int32_t l_query, int64_t ci) {
+  ChainPre& P = D.chains[ci];
+  const Opt& o = D.opt;
+  int64_t lo = D.seed_off[ci], hi = D.seed_off[ci + 1];
+  int32_t n = (int32_t)(hi - lo);
+  int64_t l_pac = D.bns.l_pac;
+  int64_t rmax0 = l_pac << 1, rmax1 = 0;
+  for (int64_t i = lo; i < hi; ++i) {
+    const int64_t* f = D.seeds_flat.data() + i * 4;
+    int64_t rbeg = f[0];
+    int32_t qbeg = (int32_t)f[1], len = (int32_t)f[2];
+    int64_t b = rbeg - (qbeg + cal_max_gap(o, qbeg));
+    int64_t e = rbeg + len +
+                ((l_query - qbeg - len) +
+                 cal_max_gap(o, l_query - qbeg - len));
+    rmax0 = std::min(rmax0, b);
+    rmax1 = std::max(rmax1, e);
+  }
+  rmax0 = std::max(rmax0, (int64_t)0);
+  rmax1 = std::min(rmax1, l_pac << 1);
+  int64_t rbeg0 = D.seeds_flat[lo * 4];
+  if (rmax0 < l_pac && l_pac < rmax1) {
+    if (rbeg0 < l_pac) rmax1 = l_pac;
+    else rmax0 = l_pac;
+  }
+  int32_t rid = 0;
+  D.bns.fetch_clip(&rmax0, rbeg0, &rmax1, &rid);
+  P.rmax0 = rmax0;
+  P.rmax1 = rmax1;
+  // srt: ascending (score, index); consumed from the top
+  P.srt.resize(n);
+  for (int32_t i = 0; i < n; ++i) P.srt[i] = i;
+  std::stable_sort(P.srt.begin(), P.srt.end(),
+                   [&](int32_t x, int32_t y) {
+                     int32_t sx = (int32_t)D.seeds_flat[(lo + x) * 4 + 3];
+                     int32_t sy = (int32_t)D.seeds_flat[(lo + y) * 4 + 3];
+                     if (sx != sy) return sx < sy;
+                     return x < y;
+                   });
+}
+
 void setup_chain(Driver& D, ReadState& R, int64_t ci) {
   R.cur_chain = ci;
   int64_t lo = D.seed_off[ci], hi = D.seed_off[ci + 1];
@@ -198,52 +259,31 @@ void setup_chain(Driver& D, ReadState& R, int64_t ci) {
   }
   R.chain_rid = D.chain_rid[ci];
   R.chain_frac = D.chain_frac[ci];
-  const Opt& o = D.opt;
-  int64_t l_pac = D.bns.l_pac;
-  int64_t rmax0 = l_pac << 1, rmax1 = 0;
-  for (const Seed& t : R.seeds) {
-    int64_t b = t.rbeg - (t.qbeg + cal_max_gap(o, t.qbeg));
-    int64_t e = t.rbeg + t.len +
-                ((R.l_query - t.qbeg - t.len) +
-                 cal_max_gap(o, R.l_query - t.qbeg - t.len));
-    rmax0 = std::min(rmax0, b);
-    rmax1 = std::max(rmax1, e);
-  }
-  rmax0 = std::max(rmax0, (int64_t)0);
-  rmax1 = std::min(rmax1, l_pac << 1);
-  if (rmax0 < l_pac && l_pac < rmax1) {
-    if (R.seeds[0].rbeg < l_pac) rmax1 = l_pac;
-    else rmax0 = l_pac;
-  }
-  int32_t rid = 0;
-  D.bns.fetch_clip(&rmax0, R.seeds[0].rbeg, &rmax1, &rid);
-  R.rmax0 = rmax0;
-  R.rmax1 = rmax1;
+  const ChainPre& P = D.chains[ci];
+  R.rmax0 = P.rmax0;
+  R.rmax1 = P.rmax1;
   R.rseq.clear();
   R.rseq_ready = false;
-  // srt: ascending (score, index); consumed from the top
-  int32_t n = (int32_t)R.seeds.size();
-  R.srt.resize(n);
-  for (int32_t i = 0; i < n; ++i) R.srt[i] = i;
-  std::stable_sort(R.srt.begin(), R.srt.end(),
-                   [&](int32_t x, int32_t y) {
-                     if (R.seeds[x].score != R.seeds[y].score)
-                       return R.seeds[x].score < R.seeds[y].score;
-                     return x < y;
-                   });
-  R.srt_alive.assign(n, 1);
-  R.k = n - 1;
+  R.srt = P.srt;
+  R.srt_alive.assign(R.seeds.size(), 1);
+  R.k = (int32_t)R.seeds.size() - 1;
 }
 
-// skip-extension test (golden region.py:181-222); true = skip this seed
-bool seed_skippable(const Opt& o, ReadState& R, const Seed& s, int32_t k) {
+// skip-extension test (golden region.py:181-222); true = skip this seed.
+// Generalized over an explicit chain (seeds via seed_fn, srt order,
+// optional alive mask) so pack() can evaluate it speculatively on chains
+// the read has not reached yet (alive == nullptr: all seeds alive).
+template <class SeedFn>
+bool skip_test(const Opt& o, const std::vector<Reg>& regs, int32_t l_query,
+               SeedFn&& seed_fn, const std::vector<int32_t>& srt,
+               const uint8_t* alive, const Seed& s, int32_t k) {
   int64_t hit = -1;
-  for (size_t i = 0; i < R.regs.size(); ++i) {
-    const Reg& p = R.regs[i];
+  for (size_t i = 0; i < regs.size(); ++i) {
+    const Reg& p = regs[i];
     if (s.rbeg < p.rb || s.rbeg + s.len > p.re || s.qbeg < p.qb ||
         s.qbeg + s.len > p.qe)
       continue;
-    if (s.len - p.seedlen0 > 0.1 * R.l_query) continue;
+    if (s.len - p.seedlen0 > 0.1 * l_query) continue;
     int64_t qd = s.qbeg - p.qb;
     int64_t rd = s.rbeg - p.rb;
     int64_t max_gap = cal_max_gap(o, std::min(qd, rd));
@@ -256,11 +296,11 @@ bool seed_skippable(const Opt& o, ReadState& R, const Seed& s, int32_t k) {
     if (qd - rd < w && rd - qd < w) { hit = (int64_t)i; break; }
   }
   if (hit < 0) return false;
-  int32_t n = (int32_t)R.seeds.size();
+  int32_t n = (int32_t)srt.size();
   int32_t i = k + 1;
   for (; i < n; ++i) {
-    if (!R.srt_alive[i]) continue;
-    const Seed& t = R.seeds[R.srt[i]];
+    if (alive && !alive[i]) continue;
+    const Seed t = seed_fn(srt[i]);
     if (t.len >= s.len * 0.95) {
       if (s.qbeg <= t.qbeg && s.qbeg + s.len - t.qbeg >= (s.len >> 2) &&
           t.qbeg - s.qbeg != t.rbeg - s.rbeg)
@@ -271,6 +311,12 @@ bool seed_skippable(const Opt& o, ReadState& R, const Seed& s, int32_t k) {
     }
   }
   return i == n;  // no overlapping seeds in the chain: skip extension
+}
+
+bool seed_skippable(const Opt& o, ReadState& R, const Seed& s, int32_t k) {
+  return skip_test(o, R.regs, R.l_query,
+                   [&](int32_t idx) { return R.seeds[idx]; }, R.srt,
+                   R.srt_alive.data(), s, k);
 }
 
 // apply a final 12-tuple to build the AlnReg (golden region.py:246-283)
@@ -649,6 +695,7 @@ PyObject* py_create(PyObject*, PyObject* args) {
   D->reads.resize((size_t)n);
   D->stream_refs.resize(8);
   D->n_pending = n;
+  D->chains.resize(D->seed_off.size() ? D->seed_off.size() - 1 : 0);
   for (int64_t r = 0; r < n; ++r) {
     ReadState& R = D->reads[r];
     R.seq = D->seq_store.data() + D->seq_off[r];
@@ -658,6 +705,8 @@ PyObject* py_create(PyObject*, PyObject* args) {
     R.chain_hi = D->chain_off[r + 1];
     R.cur_chain = R.chain_lo - 1;
     R.k = -1;
+    for (int64_t ci = R.chain_lo; ci < R.chain_hi; ++ci)
+      chain_precompute(*D, R.l_query, ci);
     advance(*D, R);
   }
   for (int i = 0; i < NB; ++i)
@@ -699,12 +748,15 @@ PyObject* py_pack(PyObject*, PyObject* args) {
   refs.clear();
   struct Cand {
     int32_t read, kpos;
+    int64_t chain;
+    int64_t rmax0, rmax1;
     int32_t qcls, cost;
     Seed s;
   };
   std::vector<Cand> cands;
   const int64_t W = D->opt.w;
   const int64_t W1 = W + 1;
+  const int64_t W2 = (W << 1) + 1;
   std::lock_guard<std::mutex> guard(D->mu);
   int64_t limit = D->cap;
   int64_t packable = 0;
@@ -718,25 +770,39 @@ PyObject* py_pack(PyObject*, PyObject* args) {
                       : std::min<int64_t>(1024, packable / 4);
     limit = std::min<int64_t>(limit, packable - res);
   }
-  // speculation depth: fill the wave once every pending read has a task
-  int64_t S = packable > 0 ? std::max<int64_t>(
-                                 1, std::min<int64_t>(8, limit / packable))
-                           : 1;
-  auto cost_of = [&](const ReadState& R, const Seed& s) {
-    int64_t ql = s.qbeg, qr = R.l_query - (s.qbeg + s.len);
+  // speculation depth: DEPTH-FIRST — pack each claimed read's full
+  // remaining task list (reads average ~5 tasks; S=8 covers p95) so a
+  // read retires in ONE device round trip instead of re-entering a wave
+  // per task (the reference ships all of a chain's seeds to the device
+  // together, src/fpga/FPGAPipeline.cpp:194-343). A breadth-first
+  // S=limit/packable collapses to 1 when packable ~ limit, which
+  // measured 1.2k-task waves at cap 4096 and left 76% of tasks to the
+  // host scalar kernel.
+  const int64_t S = 8;
+  auto cost_of = [&](int32_t l_query, int64_t rm0, int64_t rm1,
+                     const Seed& s) {
+    int64_t ql = s.qbeg, qr = l_query - (s.qbeg + s.len);
     int64_t tl = std::min<int64_t>(
-        std::min<int64_t>(s.rbeg - R.rmax0, ql + W1), D->tmax);
+        std::min<int64_t>(s.rbeg - rm0, ql + W1), D->tmax);
     int64_t tr = std::min<int64_t>(
-        std::min<int64_t>(R.rmax1 - (s.rbeg + s.len), qr + W1), D->tmax);
+        std::min<int64_t>(rm1 - (s.rbeg + s.len), qr + W1), D->tmax);
     return (int32_t)(tl + tr);
   };
   // qsmall > 0 partitions the wave into a small-shape class (both query
   // sides < qsmall -> the caller's (qsmall, qsmall+w+1) kernel variant)
   // and the full-shape class; n_small returns the boundary
-  auto qcls_of = [&](const ReadState& R, const Seed& s) {
+  auto qcls_of = [&](int32_t l_query, const Seed& s) {
     if (qsmall <= 0) return 0;
-    int64_t ql = s.qbeg, qr = R.l_query - (s.qbeg + s.len);
+    int64_t ql = s.qbeg, qr = l_query - (s.qbeg + s.len);
     return (ql <= qsmall && qr <= qsmall) ? 0 : 1;
+  };
+  // task_fits with an explicit rmax window (speculated chains)
+  auto fits = [&](const ReadState& R, int64_t rm0, int64_t rm1,
+                  const Seed& s) {
+    int64_t ql = s.qbeg, qr = R.l_query - (s.qbeg + s.len);
+    return R.dev_ok && ql <= D->qmax && qr <= D->qmax &&
+           std::min<int64_t>(s.rbeg - rm0, ql + W2) <= D->tmax &&
+           std::min<int64_t>(rm1 - (s.rbeg + s.len), qr + W2) <= D->tmax;
   };
   for (int64_t r = 0;
        r < (int64_t)D->reads.size() && (int64_t)cands.size() < limit;
@@ -744,20 +810,46 @@ PyObject* py_pack(PyObject*, PyObject* args) {
     ReadState& R = D->reads[r];
     if (R.in_flight || R.done) continue;  // in_flight first (see above)
     // pending task exists by construction (advance leaves one)
-    cands.push_back(Cand{(int32_t)r, -1, qcls_of(R, R.cur),
-                         cost_of(R, R.cur), R.cur});
+    cands.push_back(Cand{(int32_t)r, -1, R.cur_chain, R.rmax0, R.rmax1,
+                         qcls_of(R.l_query, R.cur),
+                         cost_of(R.l_query, R.rmax0, R.rmax1, R.cur),
+                         R.cur});
     R.in_flight = true;
     R.slots_in_wave = 1;
-    // speculate further seeds of the CURRENT chain (chain setup mutates
-    // read state; cross-chain speculation is a later extension)
+    // speculate further seeds of the current chain
     for (int32_t j = R.k;
          j >= 0 && R.slots_in_wave < S && (int64_t)cands.size() < limit;
          --j) {
       const Seed& s = R.seeds[R.srt[j]];
       if (seed_skippable(D->opt, R, s, j)) continue;  // predicted skip
-      if (!task_fits(*D, R, s)) continue;  // runs on host at apply time
-      cands.push_back(Cand{(int32_t)r, j, qcls_of(R, s), cost_of(R, s), s});
+      if (!fits(R, R.rmax0, R.rmax1, s)) continue;  // host at apply time
+      cands.push_back(Cand{(int32_t)r, j, R.cur_chain, R.rmax0, R.rmax1,
+                           qcls_of(R.l_query, s),
+                           cost_of(R.l_query, R.rmax0, R.rmax1, s), s});
       ++R.slots_in_wave;
+    }
+    // cross-chain speculation: chain rmax/srt are precomputed (result-
+    // independent), so later chains pack the same way; apply() walks the
+    // chain transitions in exact order and re-validates every skip test
+    for (int64_t ci = R.cur_chain + 1;
+         ci < R.chain_hi && R.slots_in_wave < S &&
+         (int64_t)cands.size() < limit;
+         ++ci) {
+      const ChainPre& P = D->chains[ci];
+      auto sfn = [&](int32_t idx) { return seed_at(*D, ci, idx); };
+      for (int32_t j = (int32_t)P.srt.size() - 1;
+           j >= 0 && R.slots_in_wave < S && (int64_t)cands.size() < limit;
+           --j) {
+        const Seed s = seed_at(*D, ci, P.srt[j]);
+        if (skip_test(D->opt, R.regs, R.l_query, sfn, P.srt, nullptr,
+                      s, j))
+          continue;  // predicted skip (re-validated at apply)
+        if (!fits(R, P.rmax0, P.rmax1, s)) continue;
+        cands.push_back(Cand{(int32_t)r, j, ci, P.rmax0, P.rmax1,
+                             qcls_of(R.l_query, s),
+                             cost_of(R.l_query, P.rmax0, P.rmax1, s), s});
+        ++R.slots_in_wave;
+      }
     }
   }
   int64_t count = (int64_t)cands.size();
@@ -791,13 +883,13 @@ PyObject* py_pack(PyObject*, PyObject* args) {
     desc[2 * D->cap + t] = c.s.len;
     desc[3 * D->cap + t] = R.l_query;
     desc[4 * D->cap + t] = c.s.rbeg;
-    desc[5 * D->cap + t] = R.rmax0;
-    desc[6 * D->cap + t] = R.rmax1;
+    desc[5 * D->cap + t] = c.rmax0;
+    desc[6 * D->cap + t] = c.rmax1;
     desc[7 * D->cap + t] = (int64_t)c.s.len * D->opt.a;
     desc[8 * D->cap + t] = W;
     desc[9 * D->cap + t] = W;
     desc[10 * D->cap + t] = 0;
-    refs.push_back(Driver::SlotRef{c.read, c.kpos});
+    refs.push_back(Driver::SlotRef{c.read, c.kpos, c.chain});
     slots.push_back(c.read);
   }
   return Py_BuildValue(
@@ -838,12 +930,14 @@ PyObject* py_apply(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "apply: result narrower than wave");
     return nullptr;
   }
-  // processing order: by read, pending task (-1) first, then kpos
-  // descending (the cursor walks downward)
+  // processing order: by read, chain ascending, pending task (-1) first
+  // within its chain, then kpos descending (the cursor walks downward)
   std::vector<int32_t> proc(refs.size());
   for (size_t i = 0; i < proc.size(); ++i) proc[i] = (int32_t)i;
   std::stable_sort(proc.begin(), proc.end(), [&](int32_t a, int32_t b) {
     if (refs[a].read != refs[b].read) return refs[a].read < refs[b].read;
+    if (refs[a].chain != refs[b].chain)
+      return refs[a].chain < refs[b].chain;
     int32_t ka = refs[a].kpos < 0 ? INT32_MAX : refs[a].kpos;
     int32_t kb = refs[b].kpos < 0 ? INT32_MAX : refs[b].kpos;
     return ka > kb;
@@ -870,6 +964,35 @@ PyObject* py_apply(PyObject*, PyObject* args) {
         }
         apply_row(*D, R, row);
       } else {
+        // cross-chain slot: finish the current chain's cursor, resolve
+        // any chains in between in full, then enter the slot's chain
+        // (exact bwa order — each seed skip-or-run against the regions
+        // accumulated so far)
+        while (R.cur_chain < ref.chain) {
+          while (R.k >= 0) {
+            const Seed s = R.seeds[R.srt[R.k]];
+            if (seed_skippable(D->opt, R, s, R.k)) {
+              R.srt_alive[R.k] = 0;
+            } else {
+              R.cur = s;
+              int64_t t[12];
+              run_host(D->opt, *D, R, t);
+              apply_tuple(D->opt, R, t);
+              ++D->n_host_tasks;
+              if (s.qbeg > D->qmax ||
+                  R.l_query - (s.qbeg + s.len) > D->qmax)
+                ++D->n_host_q;
+              else if (!task_fits(*D, R, s))
+                ++D->n_host_t;
+              else
+                ++D->n_host_sched;
+            }
+            --R.k;
+          }
+          setup_chain(*D, R, R.cur_chain < R.chain_lo
+                                 ? R.chain_lo
+                                 : R.cur_chain + 1);
+        }
         // walk the cursor down to the speculated seed, resolving the
         // seeds in between exactly in order
         while (R.k > ref.kpos) {
