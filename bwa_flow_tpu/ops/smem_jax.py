@@ -722,7 +722,11 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # keep the device 100% busy (a per-read [B, 64] budget left the ~6%
     # heaviest repeat reads on a dependent probe round trip).
     if dfm.sa_dense is not None:
-        CAPO = CAPO_PER * B
+        # the big-budget redo variant serves the heaviest ~0.5% of reads:
+        # give it a deep pool so redone reads never fall to the probe
+        # path (a dependent device round trip that would queue behind
+        # the next batch's seed program)
+        CAPO = (CAPO_PER * 16 if big else CAPO_PER) * B
         valid = slot_i < n_mem[:, None]
         s_col = jnp.where(valid, mems[:, 2, :], 0)           # [B, MAXM]
         x0_col = mems[:, 0, :]
@@ -736,8 +740,13 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
         occ_total = (gcum.reshape(B, MAXM)[:, -1]
                      - gcum0.reshape(B, MAXM)[:, 0]).astype(I32)
         p = jnp.arange(CAPO, dtype=I32)
-        seg = jnp.clip(jnp.searchsorted(gcum, p, side="right"),
-                       0, B * MAXM - 1).astype(I32)
+        # owning slot of each pool position: scatter each real slot's id
+        # at its segment start, then a running max (distinct starts by
+        # construction; searchsorted here measured ~20x slower)
+        sid = jnp.arange(B * MAXM, dtype=I32)
+        starts = jnp.where(cntf > 0, gcum0, CAPO)
+        marks = jnp.zeros(CAPO, I32).at[starts].max(sid + 1, mode="drop")
+        seg = jnp.clip(jax.lax.cummax(marks) - 1, 0, B * MAXM - 1)
         ok = p < jnp.minimum(gcum[-1], CAPO)
         rows = (x0_col.reshape(-1)[seg]
                 + (p - gcum0[seg]).astype(dt) * step.reshape(-1)[seg])
@@ -1048,6 +1057,12 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
                 if len(occ_np) > 1 and baseo[b] + t <= len(occ_np):
                     sa_vals[b] = occ_np[baseo[b]:baseo[b] + t]
     handle["sa_vals"] = sa_vals
+    if not redo.any():
+        # no dependent device work: the post-dispatch callback (next
+        # batch's seed program) can fire now
+        cb = handle.pop("_post_redo_dispatch", None)
+        if cb is not None:
+            cb()
     if redo.any():
         # splice redone reads in (rare: budget overflow / long reads).
         # First retry: the big-budget DEVICE machine (the reference keeps
@@ -1060,6 +1075,9 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
         todo = [int(b) for b in np.nonzero(redo)[0]]
         if DEVICE_REDO and handle.get("dfm") is not None:
             todo = _device_redo(handle, todo, seg, counts, sa_vals)
+        cb = handle.pop("_post_redo_dispatch", None)
+        if cb is not None:   # redo skipped the device (hook/long reads)
+            cb()
         for b in todo:
             iv = smem_golden.collect_intv(opt, fm, reads[b])
             rb = smem_golden.IntvBatch.from_lists([iv])
@@ -1095,6 +1113,10 @@ def _device_redo(handle: dict, idx: list, seg: dict, counts, sa_vals
     narrow = fm.seq_len < 2**31 and L < 32768 and not FORCE_WIDE
     d = _narrow_dfm(dfm) if narrow else dfm
     params = _opt_params(opt)
+    # two-phase: dispatch every redo program async FIRST so the caller's
+    # post-dispatch callback (the next batch's seed program) enqueues
+    # right behind them instead of waiting for their results
+    chunks = []
     for c0 in range(0, len(fit), REDO_B):
         sub = fit[c0:c0 + REDO_B]
         # pad_reads already pow2-buckets (>= 64): no extra padding, and
@@ -1103,6 +1125,13 @@ def _device_redo(handle: dict, idx: list, seg: dict, counts, sa_vals
         out = collect_intv_device(d, L, MAXB, MAXM, handle["iters"],
                                   jnp.asarray(q), jnp.asarray(qlen),
                                   *params, pack_H=0, big=True)
+        for o in out:
+            _start_fetch(o)
+        chunks.append((sub, out))
+    cb = handle.pop("_post_redo_dispatch", None)
+    if cb is not None:
+        cb()
+    for sub, out in chunks:
         mems, n_mem, ovf, occ_sa, occ_total = (np.asarray(o) for o in out)
         ish = INFO_SHIFT[mems.dtype]
         ocnt_r = np.where(occ_total >= 0, occ_total, 0)

@@ -332,7 +332,10 @@ class BatchAligner:
         self._dev_reads_n = h["n_reads"]
         parts = []
         sa_vals = []
-        for sub in h["parts"]:
+        cb = h.pop("_post_redo_dispatch", None)
+        for i, sub in enumerate(h["parts"]):
+            if cb is not None and i == len(h["parts"]) - 1:
+                sub["_post_redo_dispatch"] = cb
             parts.append(smem_jax.seed_collect_batch(sub, fetch=self.fetch))
             sa_vals.extend(sub.get("sa_vals") or [None] * len(sub["reads"]))
         h["sa_vals"] = sa_vals
@@ -470,8 +473,38 @@ class BatchAligner:
         vals_s = vals[off[lo]:off[hi]]
         return vals_s, off_s, None
 
+    def extend_async(self, seqs, all_intvs, sa_flat, on_started=None):
+        """Run extend_waves_packed in a worker thread; returns a join()
+        that re-raises and returns (rows, frac, off). The device-resident
+        read batch is snapshotted HERE (main thread) because the caller
+        will collect the NEXT batch — which repoints self._dev_reads —
+        while this extension is still running. Only one extension may be
+        in flight at a time (the wave buffers ping-pong a shared pair)."""
+        import threading
+        pinned = (self._dev_reads, self._dev_reads_n, self._dev_shards)
+        box: dict = {}
+
+        def work():
+            try:
+                box["v"] = self.extend_waves_packed(
+                    seqs, all_intvs, sa_flat, on_started=on_started,
+                    pinned=pinned)
+            except BaseException as e:  # re-raised at join
+                box["e"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+
+        def join():
+            th.join()
+            if "e" in box:
+                raise box["e"]
+            return box["v"]
+
+        return join
+
     def extend_waves_packed(self, seqs, all_intvs, sa_flat,
-                            on_started=None):
+                            on_started=None, pinned=None):
         """Native chain + wave-driver path: per-read extension state
         machines live in C++ (_wave), Python only moves descriptor waves
         to the device; returns packed regions (rows, frac, off) that feed
@@ -487,12 +520,15 @@ class BatchAligner:
         buf = self.bufs[0]
         cap, qmax, tmax = buf.cap, buf.qmax, buf.tmax
         n = len(seqs)
+        dev_reads, dev_reads_n, dev_shards = pinned if pinned is not None \
+            else (self._dev_reads, self._dev_reads_n, self._dev_shards)
         dev_flags = np.fromiter(
-            (1 if (i < self._dev_reads_n and len(seqs[i]) <= self.smem_L)
+            (1 if (i < dev_reads_n and len(seqs[i]) <= self.smem_L)
              else 0 for i in range(n)), np.uint8, n)
-        if self.devices is not None and self._dev_shards is not None:
+        if self.devices is not None and dev_shards is not None:
             return self._extend_waves_sharded(seqs, all_intvs, sa_flat,
-                                              dev_flags, on_started)
+                                              dev_flags, on_started,
+                                              dev_shards)
         with tracer.span("wave.create"):
             wd, needs = wave_native.create_driver(
                 self.opt, self.fm, seqs, all_intvs, sa_flat, dev_flags,
@@ -584,7 +620,7 @@ class BatchAligner:
                     sub[7:10] = 1          # padding lanes: h0/wl/wr = 1
                     sub[:, :n_seg] = desc[:, lo:hi]
                     out = seed_extend_desc_batch(
-                        qm, tm, self.smem_L, self.dfm, self._dev_reads,
+                        qm, tm, self.smem_L, self.dfm, dev_reads,
                         jnp.asarray(narrow_desc(sub)), *params,
                         use16=use16)
                     outs.append(out)
@@ -672,7 +708,7 @@ class BatchAligner:
         return rows, frac, off
 
     def _extend_waves_sharded(self, seqs, all_intvs, sa_flat, dev_flags,
-                              on_started=None):
+                              on_started=None, dev_shards=None):
         """Per-chip wave drivers over the batch's device shards: each
         shard owns its reads, chains and state machines; the host loop
         keeps two wave streams in flight per chip (the reference's
@@ -683,7 +719,8 @@ class BatchAligner:
         from ..ops import wave_native
         from ..ops.chain2aln_jax import narrow_desc, seed_extend_desc_batch
         from ..utils.trace import GLOBAL as tracer
-        q_devs, bounds = self._dev_shards
+        q_devs, bounds = dev_shards if dev_shards is not None \
+            else self._dev_shards
         buf = self.bufs[0]
         cap, qmax, tmax = buf.cap, buf.qmax, buf.tmax
         n = len(seqs)

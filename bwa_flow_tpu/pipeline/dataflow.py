@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import os
+import threading
 from typing import Callable, Iterable
 
 import numpy as np
@@ -348,6 +349,7 @@ class AlignPipeline:
         from ..utils.trace import GLOBAL as tracer
         n_processed = 0
         pending = None  # join() of the previous batch's tail
+        prev = None     # batch N-1: extension in flight in worker threads
         it = iter(batches)
         cur = next(it, None)
         cur_h = None
@@ -362,28 +364,33 @@ class AlignPipeline:
             intvs = luts = None
             nxt = next(it, None)
             nxt_box: dict = {}
+            nxt_lock = threading.Lock()
 
             def dispatch_next():
+                # called from the main thread (collect callback) AND the
+                # extension worker (on_started): lock makes it once-only
                 if nxt is None or not self.ba.device_ok:
                     return
-                try:
-                    if "h" not in nxt_box:
+                with nxt_lock:
+                    if "h" in nxt_box:
+                        return
+                    try:
                         nxt_box["h"] = self.ba.seeds_dispatch(
                             [r.seq for r in nxt])
-                except Exception as e:
-                    self._degrade(e)
+                    except Exception as e:
+                        self._degrade(e)
+                        nxt_box["h"] = None
 
-            # enqueue batch N+1's seed program at iteration TOP: batch
-            # N's seed program has finished (its collect only fetches)
-            # and SA resolution is fused into the seed program on
-            # dense-SA indexes, so nothing of batch N queues behind it —
-            # the device crunches batch N+1 for the WHOLE of batch N's
-            # collect + host-parallel extension + tail window (the
-            # device-idle gap this closes measured ~200 ms/batch). On
-            # probe-path indexes (no dense SA) batch N's probes queue
-            # behind it: same steady-state throughput, higher latency.
-            dispatch_next()
+            # batch N+1's seed program enqueues the moment batch N's
+            # LAST dependent device work (the budget-overflow redo
+            # programs, if any) has been dispatched — the collect path
+            # fires this callback at exactly that point, so the device
+            # crunches batch N+1 through batch N's collect tail +
+            # host-parallel extension + tail window. SA resolution is
+            # fused into the seed program on dense-SA indexes, so no
+            # probe program competes for the queue.
             if cur_h is not None and self.ba.device_ok:
+                cur_h["_post_redo_dispatch"] = dispatch_next
                 try:
                     with tracer.span("seed"):
                         intvs = self.ba.seeds_collect(cur_h)
@@ -391,16 +398,25 @@ class AlignPipeline:
                         luts = self.ba.resolve_sa_flat(intvs, cur_h)
                 except Exception as e:
                     self._degrade(e)
+                finally:
+                    dispatch_next()  # idempotent: collect fired it
+            else:
+                dispatch_next()
+            # finish batch N-1: its extension ran in worker threads for
+            # the whole of batch N's collect window (the main thread was
+            # blocked on the device/tunnel there, so the cores were free)
+            if prev is not None:
+                pending = self._finish_batch(prev, pending, emit)
+                prev = None
+            ext_join = None
             if intvs is not None and self.ba.device_ok:
                 try:
                     from ..ops import wave_native
                     if wave_native.available():
                         # chain + wave state machines fully native: C++
                         # packs descriptor waves, Python only moves them
-                        with tracer.span("extend_waves"):
-                            regs = ("packed",) + self.ba.extend_waves_packed(
-                                seqs, intvs, luts,
-                                on_started=dispatch_next)
+                        ext_join = self.ba.extend_async(
+                            seqs, intvs, luts, on_started=dispatch_next)
                     else:
                         with tracer.span("chain"):
                             chains = self._chains(seqs, intvs, luts)
@@ -411,25 +427,41 @@ class AlignPipeline:
                     regs = None
             dispatch_next()
             nxt_h = nxt_box.get("h")
-            if regs is not None and self.ba.validate_every:
-                from ..ops import region_native
-                self.ba._batch_no += 1
-                if self.ba._batch_no % self.ba.validate_every == 0:
-                    check = region_native.unpack_regs(*regs[1:]) \
-                        if _is_packed(regs) else regs
-                    if self._validate_sample(seqs, check):
-                        self._degrade("validation mismatch")
-                        regs = None
-            if regs is None:
-                with tracer.span("host_align"):
-                    regs = self._host_align(seqs)
-            if pending is not None:
-                with tracer.span("emit_wait"):
-                    emit(pending())
-            pending = self._tail_async(cur, regs)
+            prev = dict(reads=cur, seqs=seqs, ext=ext_join, regs=regs)
             n_processed += len(cur)
             cur, cur_h = nxt, nxt_h
+        if prev is not None:
+            pending = self._finish_batch(prev, pending, emit)
         if pending is not None:
             with tracer.span("emit_wait"):
                 emit(pending())
         return n_processed
+
+    def _finish_batch(self, prev, pending, emit):
+        """Join a batch's background extension, validate, run its tail
+        and emit its predecessor — the back half of the pipelined loop."""
+        from ..utils.trace import GLOBAL as tracer
+        seqs, regs = prev["seqs"], prev["regs"]
+        if prev["ext"] is not None:
+            try:
+                with tracer.span("extend_waves"):
+                    regs = ("packed",) + prev["ext"]()
+            except Exception as e:
+                self._degrade(e)
+                regs = None
+        if regs is not None and self.ba.validate_every:
+            from ..ops import region_native
+            self.ba._batch_no += 1
+            if self.ba._batch_no % self.ba.validate_every == 0:
+                check = region_native.unpack_regs(*regs[1:]) \
+                    if _is_packed(regs) else regs
+                if self._validate_sample(seqs, check):
+                    self._degrade("validation mismatch")
+                    regs = None
+        if regs is None:
+            with tracer.span("host_align"):
+                regs = self._host_align(seqs)
+        if pending is not None:
+            with tracer.span("emit_wait"):
+                emit(pending())
+        return self._tail_async(prev["reads"], regs)
