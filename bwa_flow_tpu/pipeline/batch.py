@@ -85,18 +85,32 @@ class BatchAligner:
                 self.dfm = self.dfms[0]
         self.smem_L = smem_L
         self.sa_chunk = sa_chunk
-        # tail waves at or below this many pending reads finish on the
-        # host scalar kernel instead of paying a device round trip
-        self.drain_max = drain_max if drain_max is not None \
-            else min(512, wave_cap // 16)
-        # harvester threads run pending reads on the exact scalar kernel
-        # WHILE device waves are in flight (the reference's concurrent
-        # CPU+accelerator execution of one work queue, accx_priority,
-        # kflow/include/kflow/MapStage.h:78-116); pack() leaves them a
-        # back-reserve of reads. 0 disables.
+        # Extension placement (BWA_TPU_EXT): "host" (default) runs every
+        # extension task on the harvester threads' exact scalar kernel
+        # while the DEVICE runs the next batch's seed program — the
+        # measured optimum on v5e (the seed machine is gather-bound and
+        # owns the chip; the wave kernels' per-task cost ~ a host core's,
+        # so sharing the device between them loses: waves-on equilibrium
+        # measured 4.3k reads/s vs 6.7k host-ext on the repeat fixture).
+        # "waves" re-enables device extension waves + harvester sharing
+        # (the reference's accx_priority CPU/accelerator split,
+        # kflow/include/kflow/MapStage.h:78-116) for parts with more
+        # VPU headroom per seed-machine-second.
         import os as _os
+        ext_mode = _os.environ.get("BWA_TPU_EXT", "host")
+        # tail waves at or below this many pending reads finish on the
+        # host scalar kernel instead of paying a device round trip; in
+        # host mode EVERY wave is "tail" by construction
+        self.drain_max = drain_max if drain_max is not None \
+            else (1 << 30 if ext_mode == "host"
+                  else min(512, wave_cap // 16))
+        # harvester threads run pending reads on the exact scalar kernel
+        # WHILE device waves are in flight; pack() leaves them a
+        # back-reserve of reads. 0 disables.
+        ncpu = _os.cpu_count() or 2
         self.harvest_workers = harvest_workers if harvest_workers \
-            is not None else max(0, min(2, (_os.cpu_count() or 2) - 2))
+            is not None else (max(1, ncpu - 1) if ext_mode == "host"
+                              else max(0, min(2, ncpu - 2)))
         # two buffers: wave streams ping-pong (SWTask double buffering)
         self.bufs = [DescTaskBuffer(wave_cap, qmax, tmax),
                      DescTaskBuffer(wave_cap, qmax, tmax)]
@@ -856,6 +870,14 @@ class BatchAligner:
                     if on_started is not None:
                         on_started()
             if harvesting:
+                # main thread joins the harvest across shards until no
+                # claimable reads remain, then signals the harvesters
+                with tracer.span("wave.drain"):
+                    got = 1
+                    while got:
+                        got = 0
+                        for ctx in ctxs:
+                            got += wave_native.steal(ctx["wd"], 16)
                 stop_ev.set()
             with tracer.span("wave.drain"):
                 for ctx in ctxs:
