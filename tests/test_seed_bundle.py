@@ -145,10 +145,61 @@ def test_wave_harvest_workers_exact(small_index, rng):
     want = copy.deepcopy(reads)
     golden.align_se(opt, fm, want, n_processed=0)
     # tiny wave_cap -> many small waves -> plenty of in-flight windows
-    # for the harvesters to steal during
-    ba = BatchAligner(opt, fm, wave_cap=16, harvest_workers=2)
+    # for the harvesters to steal during; drain_max=0 forces wave mode
+    # (the production default is host-extension, BWA_TPU_EXT=host)
+    ba = BatchAligner(opt, fm, wave_cap=16, harvest_workers=2,
+                      drain_max=0)
     ba.align_se(reads, n_processed=0)
     for got_r, want_r in zip(reads, want):
         assert got_r.sam == want_r.sam, got_r.name
     assert ba.stats["ext_tasks_host"] > 0, "harvesters never ran"
     assert ba.stats["ext_tasks_device"] > 0, "device never ran"
+
+
+def test_global_fused_sa_heavy_occ_reads(rng):
+    """Reads whose occurrence totals far exceed the old per-read fused
+    budget (64) must now resolve SA fully on device through the global
+    ragged pool — no probe round trip — and match the golden output
+    byte-for-byte. A tandem-repeat genome makes every read's seeds land
+    on dozens-to-hundreds of copies."""
+    import copy
+
+    from bwa_flow_tpu.index.build import build_index
+    from bwa_flow_tpu.io.sam import Read
+    from bwa_flow_tpu.models import golden
+    from bwa_flow_tpu.pipeline.batch import BatchAligner
+    from bwa_flow_tpu.utils.opts import MemOpt
+
+    unit = rng.integers(0, 4, 97)
+    genome = np.tile(unit, 120)           # ~11.6 kb of a 97 bp repeat
+    # a unique flank so some seeds anchor
+    flank = rng.integers(0, 4, 800)
+    g = np.concatenate([flank, genome, flank[::-1]])
+    seq = bytes(bytearray(b"ACGT"[int(c)] for c in g))
+    fm = build_index([("chr1", "", seq)])
+    opt = MemOpt()
+    code = np.full(256, 4, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        code[ch] = i
+    seqs = []
+    for i in range(12):
+        pos = int(rng.integers(0, len(g) - 101))
+        r = code[np.frombuffer(seq[pos:pos + 101], np.uint8)].copy()
+        m = rng.random(101) < 0.02
+        r[m] = (r[m] + rng.integers(1, 4, m.sum())) % 4
+        seqs.append(r.astype(np.uint8))
+    reads = [Read(name=f"h{i}", seq=s, qual="I" * len(s), id=i)
+             for i, s in enumerate(seqs)]
+    want = copy.deepcopy(reads)
+    golden.align_se(opt, fm, want, n_processed=0)
+    ba = BatchAligner(opt, fm, wave_cap=64)
+    assert ba.dfm.sa_dense is not None
+    # seed + collect directly to observe the fused coverage
+    h = ba.seeds_dispatch([r.seq for r in reads])
+    ba.seeds_collect(h)
+    heavy = [v for v in h["sa_vals"] if v is not None and len(v) > 64]
+    assert heavy, "expected reads with >64 fused SA occurrences"
+    ba2 = BatchAligner(opt, fm, wave_cap=64)
+    ba2.align_se(reads, n_processed=0)
+    for got_r, want_r in zip(reads, want):
+        assert got_r.sam == want_r.sam, got_r.name
