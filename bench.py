@@ -382,7 +382,7 @@ def main():
     # line is emitted as soon as they finish; optional phases (PE, Gbp,
     # human) run only with remaining budget and append a SECOND complete
     # JSON line the driver can also parse.
-    budget = float(os.environ.get("BWA_TPU_BENCH_BUDGET", "420"))
+    budget = float(os.environ.get("BWA_TPU_BENCH_BUDGET", "540"))
     t_start = time.monotonic()
 
     def remaining():
@@ -464,6 +464,7 @@ def main():
             ran_optional = True
             print(f"# e2e PE: {pe_rps:.0f} reads/s", file=sys.stderr)
             print("# PE spans:\n" + _tr.report(), file=sys.stderr)
+            print(headline(), flush=True)  # re-ship after each phase
         except Exception as e:
             print(f"# e2e PE failed: {e!r}", file=sys.stderr)
         _tr.totals.clear()
@@ -479,6 +480,7 @@ def main():
                 ran_optional = True
                 print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s",
                       file=sys.stderr)
+                print(headline(), flush=True)
             else:
                 print("# e2e 1Gbp skipped: .cache/gbp/ref.fa.sa missing",
                       file=sys.stderr)

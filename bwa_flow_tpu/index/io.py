@@ -192,15 +192,46 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
     costs minutes); delete the file or set BWA_TPU_NO_INDEX_CACHE to
     rebuild."""
     cache = prefix + ".tpu.npz"
+    blocks_f = prefix + ".tpu.blocks.npy"
+    sa_f = prefix + ".tpu.sa.npy"
+    meta_f = prefix + ".tpu.meta.npz"
     use_cache = not os.environ.get("BWA_TPU_NO_INDEX_CACHE")
-    if (use_cache and os.path.exists(cache)
-            and os.path.getmtime(cache) >= os.path.getmtime(
-                prefix + ".bwt")):
+    bwt_mtime = os.path.getmtime(prefix + ".bwt")
+
+    def _fresh(p):
+        return os.path.exists(p) and os.path.getmtime(p) >= bwt_mtime
+
+    def _write_v2(fm):
+        try:
+            np.save(blocks_f, fm.fm_blocks)
+            np.save(sa_f, fm.sa)
+            np.savez(meta_f, seq_len=fm.seq_len, primary=fm.primary,
+                     L2=fm.L2, sa_intv=fm.sa_intv)
+        except OSError:
+            pass  # read-only index dir: skip the cache
+
+    if use_cache and _fresh(blocks_f) and _fresh(sa_f) and _fresh(meta_f):
+        # v2 cache: fm_blocks/sa as raw .npy memmaps — the multi-GB
+        # arrays stream straight from the page cache into the device
+        # upload instead of being copied out of a zip container (human
+        # 3.1 Gbp: host load 84 s -> ~0)
+        d = np.load(meta_f)
+        bns = read_ann_amb(prefix)
+        fm = FMIndex(seq_len=int(d["seq_len"]), primary=int(d["primary"]),
+                     L2=d["L2"],
+                     fm_blocks=np.load(blocks_f, mmap_mode="r"),
+                     sa_intv=int(d["sa_intv"]),
+                     sa=np.load(sa_f, mmap_mode="r"), bns=bns)
+        _apply_alt(prefix, bns, ignore_alt)
+        _resample_sa(fm, prefix, use_cache)
+        return fm
+    if use_cache and _fresh(cache):
         d = np.load(cache)
         bns = read_ann_amb(prefix)
         fm = FMIndex(seq_len=int(d["seq_len"]), primary=int(d["primary"]),
                      L2=d["L2"], fm_blocks=d["fm_blocks"],
                      sa_intv=int(d["sa_intv"]), sa=d["sa"], bns=bns)
+        _write_v2(fm)   # migrate to the mmap layout for the next load
         _apply_alt(prefix, bns, ignore_alt)
         _resample_sa(fm, prefix, use_cache)
         return fm
@@ -212,12 +243,7 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
     fm = FMIndex.from_bwt(bwt_u8, primary, sa_intv, sa, bns=bns)
     assert fm.seq_len == seq_len and (fm.L2 == L2).all()
     if use_cache:
-        try:
-            np.savez(cache, seq_len=fm.seq_len, primary=fm.primary,
-                     L2=fm.L2, fm_blocks=fm.fm_blocks,
-                     sa_intv=fm.sa_intv, sa=fm.sa)
-        except OSError:
-            pass  # read-only index dir: skip the cache
+        _write_v2(fm)
     _resample_sa(fm, prefix, use_cache)
     return fm
 
@@ -259,7 +285,9 @@ def _resample_sa(fm: FMIndex, prefix: str | None, use_cache: bool) -> None:
     if (cachef and use_cache and os.path.exists(cachef)
             and os.path.getmtime(cachef) >= os.path.getmtime(
                 prefix + ".bwt")):
-        fm.sa = np.load(cachef).astype(np.int64)
+        # mmap: int64 tables stay memmapped end-to-end; int32 tables
+        # widen lazily at DeviceFM construction
+        fm.sa = np.load(cachef, mmap_mode="r")
         fm.sa_intv = intv
         return
     import time

@@ -368,7 +368,8 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
     Returns (r int32[M] death step, bst int64[M,3] state at maximal
     backward reach); lanes with alive0=False report r = i_b0."""
     M = i_b0.shape[0]
-    assert M % CS == 0
+    if M % CS != 0:
+        CS = M   # small pools (tiny batches / big-redo): one chunk
     NCH = M // CS
     xs = (bst0.reshape(NCH, CS, 3), i_b0.reshape(NCH, CS),
           read_id.reshape(NCH, CS), mi.reshape(NCH, CS),
@@ -553,13 +554,13 @@ OVF_P3 = 64        # pass-3 mem-slot cap (NP3)
 OVF_MEMS = 128     # total mems > MAXM
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 12, 13))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 12, 13, 14))
 def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
                         ITERS: int, q: jnp.ndarray, qlen: jnp.ndarray,
                         min_seed_len: jnp.ndarray, split_len: jnp.ndarray,
                         split_width: jnp.ndarray, max_mem_intv: jnp.ndarray,
                         max_occ: jnp.ndarray, pack_H: int = 0,
-                        big: bool = False
+                        big: bool = False, p2x: int = 1
                         ) -> tuple[jnp.ndarray, ...]:
     """All seeding intervals for a batch of reads (mem_collect_intv,
     bwa/bwamem.c:120-168), sorted by info.
@@ -587,12 +588,15 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # p99.5+; `big` is the DEVICE REDO variant seed_collect_batch runs on
     # the overflowed residue before resorting to host golden (~200 ms/read
     # on repeat-rich genomes — the device redo is ~100x cheaper)
-    NB = max(MAXB, 256 if big else 128)  # pass-1 break budget (all pivots);
-    # repeat-realistic reads record ~42 breaks mean, p99 ~104, max >128
-    NB2 = 96 if big else 64    # per-task break budget (repeat re-seeds
-    # walk through high-occ copies and break often: 32 overflowed 5% of
-    # a repeat-realistic batch)
-    NP3 = 48 if big else 24    # pass-3 mem slots
+    NB = max(MAXB, 384 if big else (160 if p2x > 1 else 128))
+    # pass-1 break budget (all pivots); repeat-realistic reads record
+    # ~42 breaks mean, p99 ~104, max >128; Gbp-unique reads spill 128
+    # on ~1% of a batch (49/4096 measured) -> 160 under p2x
+    NB2 = 192 if big else (96 if p2x > 1 else 64)  # per-task break budget
+    # (repeat re-seeds walk through high-occ copies and break often: 32
+    # overflowed 5% of a repeat-realistic batch; 64 overflowed 72/4096
+    # of the Gbp fixture)
+    NP3 = 64 if big else 24    # pass-3 mem slots
     M2 = min(128 if big else 64, MAXM)   # per-read pass-2 emission cap
     PBUD1 = (128 if big else 48) * B   # pass-1 backward-pool lanes
     # pass-2 pools: low-error repeat-fixture batches measure ~1.8 re-seed
@@ -601,14 +605,21 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # into the device-redo cliff (measured: e2e 3.8k -> 2.6k reads/s).
     # 32*B holds the measured p100 with ~1.3x headroom; overflow still
     # routes to the big-budget device redo, a latency cliff only.
-    TBUD = (8 if big else 2) * B
-    PBUD2 = (128 if big else 32) * B   # pass-2 backward-pool lanes
+    # p2x: Gbp-scale genomes are ~unique at seed length, so nearly EVERY
+    # SMEM qualifies for re-seeding (~6/read measured on the 1 Gbp
+    # fixture; 1,273/4096 reads overflowed the x1 pools into a ~5 s/batch
+    # Gbp redo cliff) — callers pass p2x=4 there (index/io loads choose
+    # it by seq_len in seed_dispatch).
+    TBUD = (8 if big else 2 * p2x) * B
+    PBUD2 = (128 if big else 32 * p2x) * B   # pass-2 backward-pool lanes
     # backward-walk window: each chunk is a while_loop over a CS-lane
     # slice of the sorted pool, exiting at the chunk's own max walk.
     # Finer chunks waste fewer dead iterations but pay a fixed per-chunk
-    # slicing/loop cost that DOMINATES below ~8k lanes (repeat-fixture
-    # sweep: pass-1 = 233 ms @ CS 2048, 158 ms @ 8192, 165 @ 16384)
-    CS = min(B // 2, 4096)
+    # slicing/loop cost; the 2048 FLOOR matters for the small-B big-redo
+    # variant, where B//2 alone gave 32-lane chunks -> 256 chunked loops
+    # per pool -> ~4-5 s per Gbp redo call (measured; the whole Gbp e2e
+    # sat at 654 reads/s on it)
+    CS = min(4096, max(2048, B // 2))
     q_flat = q.reshape(-1)
     rid = jnp.arange(B, dtype=I32)
 
@@ -939,10 +950,13 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
     params = _opt_params(opt)
     H = min(SEED_HEAD, MAXM)
     narrow = fm.seq_len < 2**31 and L < 32768 and not FORCE_WIDE
+    # Gbp-class genomes are ~unique at seed length: nearly every SMEM
+    # re-seeds in pass 2, so those loads get 4x-deep pass-2 pools
+    p2x = 4 if fm.seq_len >= (1 << 28) else 1
     out = collect_intv_device(
         _narrow_dfm(dfm) if narrow else dfm, L, MAXB, MAXM,
         L * iters_factor, q_dev, qlen_dev, *params,
-        pack_H=H if narrow else 0)
+        pack_H=H if narrow else 0, p2x=p2x)
     h = dict(reads=reads, opt=opt, fm=fm, dfm=dfm, L=L, MAXB=MAXB,
              MAXM=MAXM, iters=L * iters_factor, q_dev=q_dev, mems=out[0])
     if narrow:

@@ -168,7 +168,8 @@ class BatchAligner:
         return box["v"]
 
     # ------------------------------------------------------------------
-    def resolve_sa_flat(self, all_intvs, seed_handle: dict | None = None):
+    def resolve_sa_flat(self, all_intvs, seed_handle: dict | None = None,
+                        post_dispatch=None):
         """Batch all (interval, occurrence) SA probes across reads on
         device; returns (vals int64[NO], off int64[n+1], owners) in
         chain_native.sa_probe_layout enumeration order — the layout both
@@ -176,7 +177,18 @@ class BatchAligner:
 
         When the seed handle carries fused on-device SA values (dense-SA
         genomes; collect_intv_device resolves the occurrence enumeration
-        in the same call), those reads need no probe round trip at all."""
+        in the same call), those reads need no probe round trip at all.
+
+        post_dispatch (probe-path indexes): called once every probe
+        program is enqueued, BEFORE blocking on results — the dataflow
+        hooks the next batch's seed dispatch here so the probes don't
+        queue behind a ~seconds-long seed program."""
+        done_cb = [post_dispatch]
+
+        def fire():
+            cb, done_cb[0] = done_cb[0], None
+            if cb is not None:
+                cb()
         from ..ops import chain_native
         from ..ops.chain_native import sa_probe_layout
         # owners triplets only serve the dict-based Python chain path;
@@ -186,6 +198,7 @@ class BatchAligner:
             build_owners=not chain_native.available())
         vals_all = np.empty(len(rows), dtype=np.int64)
         if not len(rows):
+            fire()
             return vals_all, offs, owners
         need = None
         sav = (seed_handle or {}).get("sa_vals")
@@ -199,6 +212,7 @@ class BatchAligner:
                 else:
                     need_idx.append((lo, hi))
             if not need_idx:
+                fire()
                 return vals_all, offs, owners
             need = np.concatenate(
                 [np.arange(lo, hi) for lo, hi in need_idx])
@@ -237,6 +251,7 @@ class BatchAligner:
             except AttributeError:
                 pass
             handles.append((off, chunk, out))
+        fire()   # every probe program is enqueued; results pending
         for off, chunk, out in handles:
             packed = self.fetch(out)
             vals = packed[0, :len(chunk)].copy()  # writable: ovf redo below

@@ -390,12 +390,22 @@ class AlignPipeline:
             # fused into the seed program on dense-SA indexes, so no
             # probe program competes for the queue.
             if cur_h is not None and self.ba.device_ok:
-                cur_h["_post_redo_dispatch"] = dispatch_next
+                # dense-SA indexes: SA is fused into the seed program, so
+                # the redo dispatch is the last dependent device work.
+                # Probe-path indexes (no dense SA): the SA probe programs
+                # are — hook the dispatch there instead, or they queue
+                # behind the next ~seconds-long seed program.
+                probe_path = self.ba.dfm.sa_dense is None
+                if not probe_path:
+                    cur_h["_post_redo_dispatch"] = dispatch_next
                 try:
                     with tracer.span("seed"):
                         intvs = self.ba.seeds_collect(cur_h)
                     with tracer.span("sa"):
-                        luts = self.ba.resolve_sa_flat(intvs, cur_h)
+                        luts = self.ba.resolve_sa_flat(
+                            intvs, cur_h,
+                            post_dispatch=dispatch_next if probe_path
+                            else None)
                 except Exception as e:
                     self._degrade(e)
                 finally:

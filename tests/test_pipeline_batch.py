@@ -73,7 +73,9 @@ def test_batch_se_matches_golden(small_index, rng):
     reads = _make_se_reads(rng, contigs, 24)
     want = copy.deepcopy(reads)
     golden.align_se(opt, fm, want, n_processed=0)
-    ba = BatchAligner(opt, fm, wave_cap=64)
+    # drain_max=0 pins wave mode (production default is host-extension)
+    # so this test keeps covering the device wave path
+    ba = BatchAligner(opt, fm, wave_cap=64, drain_max=0)
     ba.align_se(reads, n_processed=0)
     for got_r, want_r in zip(reads, want):
         assert got_r.sam == want_r.sam, \

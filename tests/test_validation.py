@@ -193,7 +193,7 @@ def test_structural_check_catches_corrupt_wave_by_default(small_index,
     reads = _make_se_reads(rng, contigs, 8)
     want = copy.deepcopy(reads)
     golden.align_se(opt, fm, want)
-    ba = BatchAligner(opt, fm, wave_cap=32)  # default validate_every=0
+    ba = BatchAligner(opt, fm, wave_cap=32, drain_max=0)  # wave mode; default validate_every=0
     real_fetch = ba.fetch
 
     def corrupt_fetch(arr):
