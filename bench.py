@@ -249,8 +249,10 @@ def bench_e2e_pe(rng, genome, fm, opt):
         pipe.run(iter([reads[:BATCH]]), done.extend)  # warm
         done.clear()
         batches = [reads[i:i + BATCH] for i in range(0, len(reads), BATCH)]
+        # one timed pass (the warm pass precedes): optional phases share
+        # the driver window with the Gbp/human runs
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(1):
             done.clear()
             t0 = time.time()
             pipe.run(iter(batches), done.extend)
@@ -289,13 +291,17 @@ def bench_real_bwa(rng, genome, reads):
         for r in reads[:n]:
             seq = "".join("ACGTN"[int(c)] for c in r.seq)
             f.write(f"@{r.name}\n{seq}\n+\n{r.qual}\n")
-    # warm run (page cache / index file), then the timed run
+    # warm run (page cache / index file), then best-of-2 timed runs —
+    # symmetric with the repo e2e's best-of-N (the shared host's load
+    # swings hit both sides; single draws made the ratio noisy)
     subprocess.run([str(bwa), "mem", "-t1", str(fa), str(fq)],
                    check=True, capture_output=True)
-    t0 = time.time()
-    subprocess.run([str(bwa), "mem", "-t1", str(fa), str(fq)],
-                   check=True, capture_output=True)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        subprocess.run([str(bwa), "mem", "-t1", str(fa), str(fq)],
+                       check=True, capture_output=True)
+        dt = min(dt, time.time() - t0)
     return n / dt
 
 
@@ -342,7 +348,7 @@ def bench_e2e_big(opt, subdir, tag, n=8192):
         tr.totals.clear()
         tr.counts.clear()
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(1):
             done.clear()
             t0 = time.time()
             pipe.run(iter([reads[i:i + 4096] for i in range(0, n, 4096)]),
@@ -382,7 +388,7 @@ def main():
     # line is emitted as soon as they finish; optional phases (PE, Gbp,
     # human) run only with remaining budget and append a SECOND complete
     # JSON line the driver can also parse.
-    budget = float(os.environ.get("BWA_TPU_BENCH_BUDGET", "540"))
+    budget = float(os.environ.get("BWA_TPU_BENCH_BUDGET", "680"))
     t_start = time.monotonic()
 
     def remaining():
@@ -472,23 +478,6 @@ def main():
     else:
         print(f"# skipping PE phase ({remaining():.0f}s left)",
               file=sys.stderr)
-    if remaining() > 90:
-        try:
-            gbp_rps = bench_e2e_big(opt, "gbp", "e2e 1Gbp")
-            if gbp_rps:
-                extra["e2e_gbp_reads_per_s"] = round(gbp_rps, 1)
-                ran_optional = True
-                print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s",
-                      file=sys.stderr)
-                print(headline(), flush=True)
-            else:
-                print("# e2e 1Gbp skipped: .cache/gbp/ref.fa.sa missing",
-                      file=sys.stderr)
-        except Exception as e:   # headline already shipped
-            print(f"# e2e 1Gbp genome failed: {e!r}", file=sys.stderr)
-    else:
-        print(f"# skipping 1Gbp phase ({remaining():.0f}s left)",
-              file=sys.stderr)
     if remaining() > 150:
         try:
             human_rps = bench_e2e_big(opt, "human", "e2e 3.1Gbp")
@@ -506,6 +495,23 @@ def main():
         print(f"# skipping 3.1Gbp phase ({remaining():.0f}s left)",
               file=sys.stderr)
 
+    if remaining() > 60:
+        try:
+            gbp_rps = bench_e2e_big(opt, "gbp", "e2e 1Gbp")
+            if gbp_rps:
+                extra["e2e_gbp_reads_per_s"] = round(gbp_rps, 1)
+                ran_optional = True
+                print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s",
+                      file=sys.stderr)
+                print(headline(), flush=True)
+            else:
+                print("# e2e 1Gbp skipped: .cache/gbp/ref.fa.sa missing",
+                      file=sys.stderr)
+        except Exception as e:   # headline already shipped
+            print(f"# e2e 1Gbp genome failed: {e!r}", file=sys.stderr)
+    else:
+        print(f"# skipping 1Gbp phase ({remaining():.0f}s left)",
+              file=sys.stderr)
     if ran_optional:
         # second complete line with the optional-phase extras filled in;
         # the driver may parse either (both carry the full headline)

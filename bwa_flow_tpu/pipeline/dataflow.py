@@ -346,10 +346,14 @@ class AlignPipeline:
         production path now carries the same failure handling as
         BatchAligner.align_regs). Calls emit(batch) in order with .sam
         filled; returns reads processed."""
+        import time
         from ..utils.trace import GLOBAL as tracer
         n_processed = 0
         pending = None  # join() of the previous batch's tail
         prev = None     # batch N-1: extension in flight in worker threads
+        if not hasattr(self, "_best_seed_s"):
+            self._best_seed_s = float("inf")
+            self._slow_seed_streak = 0
         it = iter(batches)
         cur = next(it, None)
         cur_h = None
@@ -395,17 +399,35 @@ class AlignPipeline:
                 # Probe-path indexes (no dense SA): the SA probe programs
                 # are — hook the dispatch there instead, or they queue
                 # behind the next ~seconds-long seed program.
+                #
+                # Adaptive downgrade: the early enqueue assumes result
+                # transfers ride a separate tunnel channel from programs.
+                # In degraded windows they serialize, and every fetch
+                # then waits behind the NEXT ~0.5 s seed program (one
+                # observed window sustained 5.5 s/batch, ~10x). When the
+                # seed span blows past 3x the session best twice in a
+                # row, fall back to dispatch-after-fetches ordering.
                 probe_path = self.ba.dfm.sa_dense is None
-                if not probe_path:
+                aggressive = self._slow_seed_streak < 2
+                if not probe_path and aggressive:
                     cur_h["_post_redo_dispatch"] = dispatch_next
                 try:
+                    t_seed = time.monotonic()
                     with tracer.span("seed"):
                         intvs = self.ba.seeds_collect(cur_h)
                     with tracer.span("sa"):
                         luts = self.ba.resolve_sa_flat(
                             intvs, cur_h,
-                            post_dispatch=dispatch_next if probe_path
-                            else None)
+                            post_dispatch=dispatch_next
+                            if (probe_path and aggressive) else None)
+                    dt_seed = time.monotonic() - t_seed
+                    if dt_seed < self._best_seed_s:
+                        self._best_seed_s = dt_seed
+                        self._slow_seed_streak = 0
+                    elif dt_seed > 3.0 * self._best_seed_s:
+                        self._slow_seed_streak += 1
+                    else:
+                        self._slow_seed_streak = 0
                 except Exception as e:
                     self._degrade(e)
                 finally:
