@@ -97,10 +97,25 @@ def encode_reference(contigs: list[tuple[str, str, bytes]]) -> tuple[ReferenceMe
     return bns, fwd
 
 
+def _suffix_array_fast(both: np.ndarray) -> np.ndarray:
+    """Native SA-IS when built (production path — any scale; the
+    reference needed two builders, is.c for short refs and the blockwise
+    bwt_gen.c for Gbp, bwa/bwtindex.c:210-324); NumPy prefix-doubling
+    fallback otherwise."""
+    try:
+        from .. import _native
+    except ImportError:
+        return suffix_array(both)
+    if not hasattr(_native, "sais"):
+        return suffix_array(both)
+    return np.frombuffer(
+        _native.sais(np.ascontiguousarray(both, np.uint8), 4), np.int64)
+
+
 def build_index(contigs: list[tuple[str, str, bytes]], sa_intv: int = SA_INTV) -> FMIndex:
     bns, fwd = encode_reference(contigs)
     both = np.concatenate([fwd, (3 - fwd)[::-1]])  # forward + reverse complement
-    sa_full = suffix_array(both)
+    sa_full = _suffix_array_fast(both)
     bwt, primary = bwt_from_sa(both, sa_full)
     samples = sa_full[::sa_intv].astype(np.int64).copy()
     samples[0] = -1  # bwa sentinel (bwa/bwt.c:83)

@@ -20,6 +20,7 @@
 #include <vector>
 
 #include "ksw_impl.h"
+#include "sais_impl.h"
 
 namespace {
 
@@ -273,7 +274,33 @@ PyObject* py_align2(PyObject*, PyObject* args) {
                        (long long)r.qb);
 }
 
+// sais(seq_u8 [n], K) -> bytes int64[n+1] — suffix array of
+// seq + implicit minimal sentinel (out[0] == n). Production index
+// construction at any scale (the reference's is.c/bwt_gen.c role).
+PyObject* py_sais(PyObject*, PyObject* args) {
+  PyObject* so;
+  long long K = 4;
+  if (!PyArg_ParseTuple(args, "O|L", &so, &K)) return nullptr;
+  Py_buffer sb;
+  if (!get_u8(so, &sb, "seq")) return nullptr;
+  int64_t n = (int64_t)sb.len;
+  PyObject* out =
+      PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)((n + 1) * 8));
+  if (!out) {
+    PyBuffer_Release(&sb);
+    return nullptr;
+  }
+  int64_t* sa = (int64_t*)PyBytes_AS_STRING(out);
+  Py_BEGIN_ALLOW_THREADS
+  bwaflow_sais::sais<uint8_t>((const uint8_t*)sb.buf, n, (int64_t)K, sa);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&sb);
+  return out;
+}
+
 PyMethodDef methods[] = {
+    {"sais", py_sais, METH_VARARGS,
+     "SA-IS suffix array of a small-alphabet text (+ sentinel)"},
     {"ksw_extend2", py_extend2, METH_VARARGS,
      "scalar banded extension (exact golden semantics)"},
     {"ksw_align2", py_align2, METH_VARARGS,

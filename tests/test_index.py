@@ -187,3 +187,64 @@ def test_sa_resample_on_load(tmp_path, rng, monkeypatch):
     fm3 = idx_io.load_index(pfx)
     assert fm3.sa_intv == fm2.sa_intv
     assert (fm3.sa == fm2.sa).all()
+
+
+def test_native_sais_matches_prefix_doubling(rng):
+    """Native SA-IS (production index construction, the reference's
+    is.c/bwt_gen.c role — /root/reference/bwa/bwtindex.c:210-324) must
+    agree with the NumPy prefix-doubling oracle on adversarial inputs."""
+    import pytest
+
+    from bwa_flow_tpu import _native
+    from bwa_flow_tpu.index.suffix import suffix_array
+
+    if not hasattr(_native, "sais"):
+        pytest.skip("_native.sais not built")
+    cases = [rng.integers(0, 4, n).astype(np.uint8)
+             for n in (1, 2, 7, 64, 1000, 65537)]
+    cases += [np.zeros(100, np.uint8),                    # all-equal run
+              np.tile(np.array([3, 0], np.uint8), 500),   # period 2
+              np.tile(np.array([1, 1, 0], np.uint8), 333),
+              np.arange(4, dtype=np.uint8).repeat(25)]
+    for seq in cases:
+        want = suffix_array(seq)
+        got = np.frombuffer(_native.sais(np.ascontiguousarray(seq), 4),
+                            np.int64)
+        assert (got == want).all(), seq[:12]
+
+
+def test_build_index_artifacts_match_stock_bwa(tmp_path, rng):
+    """End-to-end builder parity: our `index` command's artifacts must be
+    byte-identical to stock `bwa index` output (pac encode + ambiguity
+    fill + BWT + occ interleave + SA sampling), including N runs."""
+    import subprocess
+
+    import pytest
+
+    from bwa_flow_tpu.index import io as idx_io
+    from bwa_flow_tpu.index.build import index_fasta
+    from tests.oracle import build_oracle
+
+    bwa = build_oracle()
+    if bwa is None:
+        pytest.skip("oracle bwa unavailable")
+    n = 200_000
+    g = rng.integers(0, 4, n)
+    sym = np.frombuffer(b"ACGT", np.uint8)[g].copy()
+    sym[5000:5180] = ord("N")            # an N island
+    s = sym.tobytes().decode()
+    fa = tmp_path / "ref.fa"
+    with open(fa, "w") as f:
+        f.write(">c1 hello\n")
+        for i in range(0, n, 61):
+            f.write(s[i:i + 61] + "\n")
+    fa2 = tmp_path / "oracle.fa"
+    fa2.write_bytes(fa.read_bytes())
+    subprocess.run([str(bwa), "index", str(fa2)], check=True,
+                   capture_output=True)
+    fm = index_fasta(str(fa))
+    idx_io.save_index(str(fa), fm)
+    for ext in ("bwt", "sa", "pac", "ann", "amb"):
+        ours = (tmp_path / f"ref.fa.{ext}").read_bytes()
+        stock = (tmp_path / f"oracle.fa.{ext}").read_bytes()
+        assert ours == stock, f".{ext} differs"
