@@ -105,6 +105,13 @@ def _mem_parser() -> argparse.ArgumentParser:
       help="multi-host batch assignment: pull = dynamic work queue on "
       "rank 0 (the reference's MPI master loop, self-load-balancing); "
       "stride = static every-Nth-batch")
+    a("--ext-mode", choices=("host", "waves"), default=None,
+      dest="ext_mode",
+      help="extension placement: host = harvester threads on the exact "
+      "scalar kernel while the chip seeds the next batch (default; "
+      "measured optimum on v5e); waves = device extension kernels with "
+      "CPU+accelerator work sharing (the reference's accx_priority). "
+      "Also settable via BWA_TPU_EXT.")
     a("--help", action="help")
     a("ref")
     a("fastq", nargs="+")
@@ -128,6 +135,9 @@ def build_opt(args) -> MemOpt:
     take("split_factor", "split_factor")
     take("max_mem_intv", "max_mem_intv")
     take("max_occ", "max_occ")
+    if getattr(args, "drop_ratio", None) is not None:
+        from .utils.opts import _round_f32
+        args.drop_ratio = _round_f32(args.drop_ratio)  # C float field
     take("drop_ratio", "drop_ratio")
     take("min_chain_weight", "min_chain_weight")
     take("max_matesw", "max_matesw")
@@ -276,6 +286,8 @@ def _setup_jax_cache() -> None:
 def main_mem(argv: list[str]) -> int:
     args = _mem_parser().parse_args(argv)
     opt = build_opt(args)
+    if args.ext_mode:
+        os.environ["BWA_TPU_EXT"] = args.ext_mode
     _setup_jax_cache()
     from .parallel import distributed as dist
     pid, nprocs = dist.init_distributed(args.coordinator, args.nprocs,

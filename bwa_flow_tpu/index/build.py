@@ -115,10 +115,14 @@ def _suffix_array_fast(both: np.ndarray) -> np.ndarray:
 def build_index(contigs: list[tuple[str, str, bytes]], sa_intv: int = SA_INTV) -> FMIndex:
     bns, fwd = encode_reference(contigs)
     both = np.concatenate([fwd, (3 - fwd)[::-1]])  # forward + reverse complement
+    del fwd
     sa_full = _suffix_array_fast(both)
-    bwt, primary = bwt_from_sa(both, sa_full)
     samples = sa_full[::sa_intv].astype(np.int64).copy()
     samples[0] = -1  # bwa sentinel (bwa/bwt.c:83)
+    bwt, primary = bwt_from_sa(both, sa_full)
+    # human-scale frees: the SA (8 B/symbol) and text must not stay live
+    # through the occ-block build's own temporaries
+    del sa_full, both
     return FMIndex.from_bwt(bwt, primary, sa_intv, samples, bns=bns)
 
 

@@ -60,7 +60,15 @@ def bwt_from_sa(seq: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     """
     n = len(seq)
     primary = int(np.nonzero(sa == 0)[0][0])
-    rows = np.concatenate([sa[:primary], sa[primary + 1:]])
-    bwt = seq[(rows - 1).astype(np.int64)].astype(np.uint8)
-    assert len(bwt) == n
+    # chunked gather: materializing (sa - 1) whole costs another
+    # 8 bytes/symbol (human fwd+rc: +50 GB — the build OOM-killed there)
+    bwt = np.empty(n, np.uint8)
+    CHUNK = 1 << 28
+    out = 0
+    for lo, hi in ((0, primary), (primary + 1, len(sa))):
+        for c0 in range(lo, hi, CHUNK):
+            c1 = min(c0 + CHUNK, hi)
+            bwt[out:out + (c1 - c0)] = seq[sa[c0:c1] - 1]
+            out += c1 - c0
+    assert out == n
     return bwt, primary

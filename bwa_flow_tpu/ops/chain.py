@@ -103,6 +103,125 @@ def chain_weight(c: Chain) -> int:
     return w if w < (1 << 30) else (1 << 30) - 1
 
 
+class _KBTree:
+    """Exact replica of klib kbtree's insert/interval/traverse behavior
+    for chain keys (bwa/kbtree.h, degree t=5 for mem_chain_t at
+    KB_DEFAULT_SIZE — /tmp-verified sizeof math). bwa's output DEPENDS on
+    kbtree implementation accidents: with duplicate chain positions (one
+    per tandem-repeat copy), which duplicate `kb_intervalp` returns — and
+    therefore which chain a seed merges into — is determined by the
+    B-tree node layout, i.e. the split history. A sorted-list bisect
+    picks a different duplicate and produces different chains on
+    tandem-repeat reads (measured: 43 diverging reads per 200k-read
+    soak, all in tandem arrays). Keys are (pos, chain) pairs compared by
+    pos only."""
+
+    __slots__ = ("t", "root")
+
+    class _Node:
+        __slots__ = ("keys", "kids")
+
+        def __init__(self, leaf: bool):
+            self.keys: list = []
+            self.kids: list | None = None if leaf else []
+
+    def __init__(self, t: int = 5):
+        self.t = t
+        self.root = self._Node(leaf=True)
+
+    @staticmethod
+    def _get_aux(node, pos):
+        """__kb_getp_aux: lower_bound, then (index, r) with r<0 stepping
+        left — exact match lands on the FIRST equal key with r=0."""
+        n = len(node.keys)
+        if n == 0:
+            return -1, 1
+        begin, end = 0, n
+        while begin < end:
+            mid = (begin + end) >> 1
+            if node.keys[mid][0] < pos:
+                begin = mid + 1
+            else:
+                end = mid
+        if begin == n:
+            return n - 1, 1
+        kp = node.keys[begin][0]
+        r = (pos > kp) - (pos < kp)
+        if r < 0:
+            begin -= 1
+        return begin, r
+
+    def interval(self, pos):
+        """kb_intervalp: (lower, upper) chain objects; exact match
+        returns that in-node element for both."""
+        lower = upper = None
+        x = self.root
+        while x is not None:
+            i, r = self._get_aux(x, pos)
+            if i >= 0 and r == 0:
+                c = x.keys[i][1]
+                return c, c
+            if i >= 0:
+                lower = x.keys[i][1]
+            if i < len(x.keys) - 1:
+                upper = x.keys[i + 1][1]
+            if x.kids is None:
+                break
+            x = x.kids[i + 1]
+        return lower, upper
+
+    def _split(self, x, i, y):
+        t = self.t
+        z = self._Node(leaf=y.kids is None)
+        z.keys = y.keys[t:]
+        if y.kids is not None:
+            z.kids = y.kids[t:]
+            del y.kids[t:]
+        mid = y.keys[t - 1]
+        del y.keys[t - 1:]
+        x.kids.insert(i + 1, z)
+        x.keys.insert(i, mid)
+
+    def put(self, pos, chain):
+        t = self.t
+        r = self.root
+        if len(r.keys) == 2 * t - 1:
+            s = self._Node(leaf=False)
+            s.kids = [r]
+            self._split(s, 0, r)
+            self.root = s
+            r = s
+        x = r
+        while True:
+            if x.kids is None:
+                i, _ = self._get_aux(x, pos)
+                x.keys.insert(i + 1, (pos, chain))
+                return
+            i, _ = self._get_aux(x, pos)
+            i += 1
+            if len(x.kids[i].keys) == 2 * t - 1:
+                self._split(x, i, x.kids[i])
+                if pos > x.keys[i][0]:
+                    i += 1
+            x = x.kids[i]
+
+    def traverse(self) -> list:
+        """__kb_traverse in-order emission."""
+        out: list = []
+
+        def rec(x):
+            if x.kids is None:
+                out.extend(k[1] for k in x.keys)
+                return
+            for j, key in enumerate(x.keys):
+                rec(x.kids[j])
+                out.append(key[1])
+            rec(x.kids[len(x.keys)])
+
+        rec(self.root)
+        return out
+
+
 def mem_chain(opt: MemOpt, fm: FMIndex, length: int, intvs: list[Intv],
               sa_lookup=None) -> list[Chain]:
     """Seeds -> chains (bwamem.c:260-324). ``intvs`` is collect_intv output.
@@ -128,8 +247,8 @@ def mem_chain(opt: MemOpt, fm: FMIndex, length: int, intvs: list[Intv],
             e = max(e, se)
     l_rep += e - b
 
-    keys: list[int] = []   # chain positions, sorted
-    chains: list[Chain] = []  # parallel to keys
+    tree = _KBTree()
+    n_put = 0
     for p in intvs:
         slen = p.end - p.start
         step = p.s // opt.max_occ if p.s > opt.max_occ else 1
@@ -144,18 +263,19 @@ def mem_chain(opt: MemOpt, fm: FMIndex, length: int, intvs: list[Intv],
             if rid < 0:
                 continue  # bridges contigs or the fw-rev boundary
             to_add = False
-            if chains:
-                i = bisect.bisect_right(keys, rbeg) - 1  # closest chain <= pos
-                if i < 0 or not test_and_merge(opt, l_pac, chains[i], s, rid):
+            if n_put:
+                lower, _upper = tree.interval(rbeg)
+                if lower is None or not test_and_merge(opt, l_pac, lower,
+                                                       s, rid):
                     to_add = True
             else:
                 to_add = True
             if to_add:
                 c = Chain(pos=rbeg, rid=rid,
                           is_alt=int(bool(bns.anns[rid].is_alt)), seeds=[s])
-                j = bisect.bisect_right(keys, rbeg)
-                keys.insert(j, rbeg)
-                chains.insert(j, c)
+                tree.put(rbeg, c)
+                n_put += 1
+    chains = tree.traverse()
     for c in chains:
         c.frac_rep = l_rep / length
     return chains

@@ -42,6 +42,14 @@ def fill_scmat(a: int, b: int) -> np.ndarray:
     return mat
 
 
+def _round_f32(v: float) -> float:
+    """Round a ratio through IEEE float32 — the reference's option
+    struct stores these as C floats (bwamem.h:48-51), and boundary
+    comparisons depend on the f32 value."""
+    import struct as _struct
+    return _struct.unpack("f", _struct.pack("f", v))[0]
+
+
 @dataclasses.dataclass
 class MemOpt:
     a: int = 1                  # match score
@@ -67,10 +75,18 @@ class MemOpt:
     max_chain_gap: int = 10000
     n_threads: int = 1
     chunk_size: int = 10000000
-    mask_level: float = 0.50
-    drop_ratio: float = 0.50
-    XA_drop_ratio: float = 0.80
-    mask_level_redun: float = 0.95
+    # The reference stores these ratios in C FLOAT fields (bwamem.h:48-51)
+    # and every comparison promotes the float to double — so 0.80 is
+    # really 0.80f = 0.800000011920929. Defaults here are pre-rounded
+    # through float32; -c/-D style setters must round too (see
+    # _round_f32). Measured consequence of using the double literal:
+    # score-at-exactly-80% XA hits flip (e.g. 116 >= 145*0.80 is True in
+    # double, False after float32 rounding — 8 diverging reads per
+    # 200k-read soak).
+    mask_level: float = 0.50              # exact in f32
+    drop_ratio: float = 0.50              # exact in f32
+    XA_drop_ratio: float = 0.800000011920928955078125
+    mask_level_redun: float = 0.949999988079071044921875
     mapQ_coef_len: float = 50.0
     # NB: the reference stores this in an *int* field, truncating
     # log(50)=3.912 to 3 (bwamem.c:81); keep the truncation for bit-exact

@@ -120,6 +120,108 @@ int64_t chain_weight(const ChainC& c) {
   return w < (1ll << 30) ? w : (1ll << 30) - 1;
 }
 
+// Exact replica of klib kbtree insert/interval/traverse for chain keys
+// (bwa/kbtree.h; degree t=5 for mem_chain_t at KB_DEFAULT_SIZE). bwa's
+// chains depend on kbtree implementation accidents: with duplicate
+// chain positions (tandem repeats), WHICH duplicate kb_intervalp
+// returns — and so which chain a seed merges into — follows from the
+// B-tree node/split history; a sorted-array bisect picks a different
+// duplicate and yields different chains (measured 43 diverging reads
+// per 200k-read soak before this replica). Keys are (pos, chain index).
+struct KBTree {
+  static constexpr int T = 5;
+  struct Node {
+    std::vector<std::pair<int64_t, int32_t>> keys;
+    std::vector<Node*> kids;  // empty => leaf
+  };
+  Node* root;
+  KBTree() : root(new Node()) {}
+  ~KBTree() { free_rec(root); }
+  static void free_rec(Node* x) {
+    for (Node* c : x->kids) free_rec(c);
+    delete x;
+  }
+  // __kb_getp_aux: lower_bound then step left on r<0; exact match lands
+  // on the FIRST equal key in the node with r=0
+  static int get_aux(const Node* x, int64_t pos, int* r) {
+    int n = (int)x->keys.size();
+    if (n == 0) { *r = 1; return -1; }
+    int begin = 0, end = n;
+    while (begin < end) {
+      int mid = (begin + end) >> 1;
+      if (x->keys[mid].first < pos) begin = mid + 1;
+      else end = mid;
+    }
+    if (begin == n) { *r = 1; return n - 1; }
+    int64_t kp = x->keys[begin].first;
+    *r = (pos > kp) - (pos < kp);
+    if (*r < 0) --begin;
+    return begin;
+  }
+  int32_t interval_lower(int64_t pos) const {  // chain idx or -1
+    int32_t lower = -1;
+    const Node* x = root;
+    while (x) {
+      int r;
+      int i = get_aux(x, pos, &r);
+      if (i >= 0 && r == 0) return x->keys[i].second;
+      if (i >= 0) lower = x->keys[i].second;
+      if (x->kids.empty()) break;
+      x = x->kids[i + 1];
+    }
+    return lower;
+  }
+  void split(Node* x, int i, Node* y) {
+    Node* z = new Node();
+    z->keys.assign(y->keys.begin() + T, y->keys.end());
+    if (!y->kids.empty()) {
+      z->kids.assign(y->kids.begin() + T, y->kids.end());
+      y->kids.resize(T);
+    }
+    auto mid = y->keys[T - 1];
+    y->keys.resize(T - 1);
+    x->kids.insert(x->kids.begin() + i + 1, z);
+    x->keys.insert(x->keys.begin() + i, mid);
+  }
+  void put(int64_t pos, int32_t idx) {
+    Node* r = root;
+    if ((int)r->keys.size() == 2 * T - 1) {
+      Node* s = new Node();
+      s->kids.push_back(r);
+      split(s, 0, r);
+      root = s;
+      r = s;
+    }
+    Node* x = r;
+    while (true) {
+      int rr;
+      if (x->kids.empty()) {
+        int i = get_aux(x, pos, &rr);
+        x->keys.insert(x->keys.begin() + i + 1, {pos, idx});
+        return;
+      }
+      int i = get_aux(x, pos, &rr) + 1;
+      if ((int)x->kids[i]->keys.size() == 2 * T - 1) {
+        split(x, i, x->kids[i]);
+        if (pos > x->keys[i].first) ++i;
+      }
+      x = x->kids[i];
+    }
+  }
+  static void trav_rec(const Node* x, std::vector<int32_t>* out) {
+    if (x->kids.empty()) {
+      for (auto& k : x->keys) out->push_back(k.second);
+      return;
+    }
+    for (size_t j = 0; j < x->keys.size(); ++j) {
+      trav_rec(x->kids[j], out);
+      out->push_back(x->keys[j].second);
+    }
+    trav_rec(x->kids[x->keys.size()], out);
+  }
+  void traverse(std::vector<int32_t>* out) const { trav_rec(root, out); }
+};
+
 // golden chain.py:104-159 for ONE read; sa points at the pre-resolved
 // occurrence values in enumeration order (interval -> k by step).
 void mem_chain_one(const Opt& opt, const Bns& bns, int32_t l_query,
@@ -140,8 +242,7 @@ void mem_chain_one(const Opt& opt, const Bns& bns, int32_t l_query,
   l_rep += e - b;
   *frac_rep = (double)l_rep / l_query;
 
-  std::vector<int64_t> keys;       // chain positions, sorted
-  std::vector<int32_t> order;      // parallel: index into chains
+  KBTree tree;
   int64_t sai = 0;
   for (int64_t ii = 0; ii < n_iv; ++ii) {
     int32_t slen = iv_end[ii] - iv_start[ii];
@@ -156,11 +257,9 @@ void mem_chain_one(const Opt& opt, const Bns& bns, int32_t l_query,
       if (rid < 0) continue;
       bool to_add = false;
       if (!chains.empty()) {
-        // closest chain with pos <= rbeg (bisect_right - 1)
-        auto it = std::upper_bound(keys.begin(), keys.end(), rbeg);
-        int64_t i = (int64_t)(it - keys.begin()) - 1;
-        if (i < 0 ||
-            !test_and_merge(opt, bns.l_pac, chains[order[i]], s, rid))
+        int32_t lower = tree.interval_lower(rbeg);
+        if (lower < 0 ||
+            !test_and_merge(opt, bns.l_pac, chains[lower], s, rid))
           to_add = true;
       } else {
         to_add = true;
@@ -173,14 +272,15 @@ void mem_chain_one(const Opt& opt, const Bns& bns, int32_t l_query,
         c.w = 0; c.kept = 0; c.first = -1;
         c.seeds.push_back(s);
         chains.push_back(std::move(c));
-        auto it = std::upper_bound(keys.begin(), keys.end(), rbeg);
-        int64_t j = it - keys.begin();
-        keys.insert(keys.begin() + j, rbeg);
-        order.insert(order.begin() + j, (int32_t)(chains.size() - 1));
+        tree.put(rbeg, (int32_t)(chains.size() - 1));
       }
     }
   }
-  // emit in position order (tree-traversal order of the golden model)
+  // emit in kbtree in-order traversal order (__kb_traverse), which the
+  // downstream filter's tie-sensitive introsort depends on
+  std::vector<int32_t> order;
+  order.reserve(chains.size());
+  tree.traverse(&order);
   std::vector<ChainC> sorted_chains;
   sorted_chains.reserve(chains.size());
   for (int32_t idx : order) sorted_chains.push_back(std::move(chains[idx]));
