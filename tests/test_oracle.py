@@ -91,3 +91,57 @@ def test_se_device(fx_dir):
     got = run_ours(ref, [fq], fx_dir / "se_dev.sam")
     d = orc.sam_diff(got, want)
     assert not d, d
+
+
+def test_pe_tandem_array(fx_dir):
+    """Tandem-repeat arrays with pinned insert stats — the class that
+    exposed the round-4 kbtree-chaining and float32-ratio divergences
+    (43 diverging reads per 200k-read soak before the fixes): dozens of
+    chains share one B-tree position and XA hits land exactly at the
+    80%-score boundary. Reads sampled ACROSS the array must match real
+    bwa byte-for-byte."""
+    rng = np.random.default_rng(97)
+    # unique flanks around a 97-bp unit tiled ~80x (mutations per copy)
+    unit = rng.integers(0, 4, 97)
+    copies = []
+    for _ in range(80):
+        c = unit.copy()
+        m = rng.random(97) < 0.02
+        c[m] = (c[m] + rng.integers(1, 4, m.sum())) % 4
+        copies.append(c)
+    flank = rng.integers(0, 4, 4000)
+    g = np.concatenate([flank] + copies + [flank[::-1]])
+    seq = bytes(bytearray(b"ACGT"[int(x)] for x in g))
+    contigs = [("chr1", seq)]
+    ref = fx_dir / "pe_tandem.fa"
+    orc.write_fasta(ref, contigs)
+    orc.oracle_index(ref)
+    pairs = []
+    for i in range(120):
+        isize = max(320, int(rng.normal(350, 30)))
+        pos = int(rng.integers(0, len(g) - isize - 1))
+        frag = g[pos:pos + isize]
+        r1 = frag[:151].astype(np.uint8)
+        r2 = ((3 - frag[-151:])[::-1]).astype(np.uint8)
+        out = []
+        for r in (r1, r2):
+            r = r.copy()
+            m = rng.random(151) < 0.01
+            r[m] = (r[m] + rng.integers(1, 4, m.sum()).astype(np.uint8)) % 4
+            out.append(orc.Read(f"t{i}", r, "I" * 151)
+                       if hasattr(orc, "Read") else r)
+        pairs.append(out)
+    fq1, fq2 = fx_dir / "tand_1.fq", fx_dir / "tand_2.fq"
+    code = np.frombuffer(b"ACGT", np.uint8)
+    for fq, idx in ((fq1, 0), (fq2, 1)):
+        with open(fq, "w") as f:
+            for i, p in enumerate(pairs):
+                r = p[idx] if not hasattr(orc, "Read") else p[idx].seq
+                f.write(f"@t{i}\n{code[r].tobytes().decode()}\n+\n"
+                        f"{'I' * 151}\n")
+    pinned = ["-I", "350,30"]
+    want = orc.oracle_mem(ref, [fq1, fq2], ["-v", "1"] + pinned)
+    got = run_ours(ref, [fq1, fq2], fx_dir / "pe_tandem.sam",
+                   extra=["--no-device"] + pinned)
+    d = orc.sam_diff(got, want)
+    assert not d, d
