@@ -375,8 +375,13 @@ def main_mem(argv: list[str]) -> int:
         # derive from the RESOLVED coordinator (flag -> env -> default,
         # round-3 advisor: env-configured runs must not pull localhost).
         wq_host, wq_port = dist.workqueue_addr(args.coordinator)
+        # token derives from the RESOLVED coordinator (flag included):
+        # env-only derivation would share one token across every
+        # flag-configured job (advisor r4)
+        wq_token = dist.run_token(args.coordinator)
         if pid == 0:
-            wq_server = dist.WorkQueueServer(host=wq_host, port=wq_port)
+            wq_server = dist.WorkQueueServer(host=wq_host, port=wq_port,
+                                             token=wq_token)
 
     def batches():
         it = read_batches(args.fastq[0], fq2,
@@ -384,7 +389,8 @@ def main_mem(argv: list[str]) -> int:
                           interleaved=args.smart_pairing)
         if nprocs > 1 and args.dist == "pull":
             it = dist.pull_batches(
-                it, dist.WorkQueueClient(wq_host, wq_port),
+                it, dist.WorkQueueClient(wq_host, wq_port,
+                                         token=wq_token),
                 tally=wq_tally)
         elif nprocs > 1:
             it = dist.shard_batches(it, pid, nprocs)

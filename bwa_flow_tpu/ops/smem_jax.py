@@ -745,20 +745,27 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
         cnt = jnp.where(over, max_occ.astype(dt), s_col).astype(I32)
         step = jnp.where(over, s_col // jnp.maximum(max_occ, 1),
                          dt.type(1))
-        cntf = cnt.reshape(-1)                               # [B*MAXM]
+        # int64 prefix sums: with -c (max_occ) in the thousands an int32
+        # cumsum over B*MAXM slots wraps negative, silently zeroing every
+        # fused SA value while early reads still pass the host-side
+        # baseo+t<=CAPO fit check (advisor r4). Totals are clamped back
+        # to int32 AFTER the segment math.
+        cntf = cnt.reshape(-1).astype(jnp.int64)             # [B*MAXM]
         gcum = jnp.cumsum(cntf)
         gcum0 = gcum - cntf
-        occ_total = (gcum.reshape(B, MAXM)[:, -1]
-                     - gcum0.reshape(B, MAXM)[:, 0]).astype(I32)
+        occ_total = jnp.clip(
+            gcum.reshape(B, MAXM)[:, -1] - gcum0.reshape(B, MAXM)[:, 0],
+            0, jnp.iinfo(I32).max).astype(I32)
         p = jnp.arange(CAPO, dtype=I32)
         # owning slot of each pool position: scatter each real slot's id
         # at its segment start, then a running max (distinct starts by
         # construction; searchsorted here measured ~20x slower)
         sid = jnp.arange(B * MAXM, dtype=I32)
-        starts = jnp.where(cntf > 0, gcum0, CAPO)
+        starts = jnp.where(cntf > 0, jnp.minimum(gcum0, CAPO),
+                           CAPO).astype(I32)
         marks = jnp.zeros(CAPO, I32).at[starts].max(sid + 1, mode="drop")
         seg = jnp.clip(jax.lax.cummax(marks) - 1, 0, B * MAXM - 1)
-        ok = p < jnp.minimum(gcum[-1], CAPO)
+        ok = p < jnp.minimum(gcum[-1], CAPO).astype(I32)
         rows = (x0_col.reshape(-1)[seg]
                 + (p - gcum0[seg]).astype(dt) * step.reshape(-1)[seg])
         idx = jnp.clip(jnp.where(ok, rows, 0), 0,

@@ -113,7 +113,16 @@ class WorkQueueServer:
         import threading
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._sock.bind((host, port))
+        try:
+            self._sock.bind((host, port))
+        except OSError:
+            if not host:
+                raise
+            # coordinator address may be a DNS name / VIP not assignable
+            # on this host's interfaces (NAT, load balancer): serve on
+            # all interfaces instead — clients still connect via the
+            # resolved name (advisor r4)
+            self._sock.bind(("", port))
         self._sock.listen(64)
         self.port = self._sock.getsockname()[1]
         self.token = run_token() if token is None else token
@@ -218,15 +227,18 @@ class WorkQueueClient:
             pass
 
 
-def run_token() -> str:
+def run_token(coordinator: str | None = None) -> str:
     """Per-run work-queue token every rank derives identically (no
     communication needed): BWA_TPU_RUN_TOKEN env, else a digest of the
-    resolved coordinator address + process count."""
+    resolved coordinator address + process count. Callers that know the
+    --coordinator flag must pass it through (advisor r4): deriving from
+    the env-only default would mint one shared token for every
+    flag-configured job, defeating the stray-connection rejection."""
     tok = os.environ.get("BWA_TPU_RUN_TOKEN")
     if tok:
         return tok
     import hashlib
-    basis = (resolve_coordinator(None) + "/"
+    basis = (resolve_coordinator(coordinator) + "/"
              + os.environ.get("BWA_TPU_NPROCS", "1"))
     return hashlib.sha1(basis.encode()).hexdigest()[:12]
 

@@ -132,13 +132,23 @@ class BatchAligner:
         self.validate_sample = validate_sample
         self.device_ok = True
         self._batch_no = 0
-        # perf counters (the reference's per-stage VLOG spans, src/util.h:33)
+        # perf counters (the reference's per-stage VLOG spans, src/util.h:33).
+        # Mutated from harvester threads AND the main thread (extend_async
+        # runs concurrently with the next batch's collect): dict += is not
+        # atomic across GIL switches, so all updates go through _stat()
+        # under a lock (advisor r4).
+        import threading as _threading
+        self._stats_lock = _threading.Lock()
         self.stats = {"reads": 0, "seed_host_redo": 0, "sa_host_redo": 0,
                       "ext_tasks_device": 0, "ext_tasks_host": 0,
                       "host_oversize_q": 0, "host_oversize_t": 0,
                       "host_sched": 0,
                       "waves": 0, "band_retries": 0, "validations": 0,
                       "device_errors": 0}
+
+    def _stat(self, name: str, delta: int = 1) -> None:
+        with self._stats_lock:
+            self.stats[name] = self.stats.get(name, 0) + delta
 
     # ------------------------------------------------------------------
     def fetch(self, arr) -> np.ndarray:
@@ -258,7 +268,7 @@ class BatchAligner:
             ovf = packed[1, :len(chunk)] != 0
             for j in np.nonzero(ovf)[0]:
                 vals[j] = fmops.bwt_sa(self.fm, int(chunk[j]))
-                self.stats["sa_host_redo"] += 1
+                self._stat("sa_host_redo")
             if need is None:
                 vals_all[off:off + len(chunk)] = vals
             else:
@@ -351,7 +361,7 @@ class BatchAligner:
         from ..ops.smem import IntvBatch
         while self.seeds_step(h):
             pass
-        self.stats["reads"] += h["n_reads"]
+        self._stat("reads", h["n_reads"])
         if h.get("sharded"):
             self._dev_reads = None
             self._dev_shards = (h["q_devs"], h["bounds"])
@@ -431,7 +441,7 @@ class BatchAligner:
         (finishUpOnCPU + setUseAccx(false) analog)."""
         opt, fm = self.opt, self.fm
         if not self.device_ok:
-            self.stats["reads"] += len(seqs)
+            self._stat("reads", len(seqs))
             return [golden.mem_align1_core(opt, fm, seq) for seq in seqs]
         self._batch_no += 1
         try:
@@ -450,7 +460,7 @@ class BatchAligner:
             import sys
             print(f"[W::align] device path failed ({e!r}); falling back "
                   "to host for the rest of the run", file=sys.stderr)
-            self.stats["device_errors"] += 1
+            self._stat("device_errors")
             self.device_ok = False
             return [golden.mem_align1_core(opt, fm, seq) for seq in seqs]
         # dedup/patch + alt flags
@@ -478,7 +488,7 @@ class BatchAligner:
     def _validate(self, seqs, got_regs) -> bool:
         """Cross-check a deterministic sample of reads against the golden
         model (the FPGA wrong-result detector analog). True on mismatch."""
-        self.stats["validations"] += 1
+        self._stat("validations")
         n = len(seqs)
         step = max(1, n // max(1, self.validate_sample))
         for i in range(0, n, step):
@@ -663,8 +673,8 @@ class BatchAligner:
                     full.copy_to_host_async()
                 except AttributeError:
                     pass
-            self.stats["waves"] += 1
-            self.stats["ext_tasks_device"] += count
+            self._stat("waves")
+            self._stat("ext_tasks_device", count)
             inflight[si] = count
             return full, meta
 
@@ -710,12 +720,12 @@ class BatchAligner:
                 for t in hthreads:
                     if t.ident is not None:
                         t.join()
-        self.stats["ext_tasks_host"] += wave_native.host_tasks(wd)
+        self._stat("ext_tasks_host", wave_native.host_tasks(wd))
         if hasattr(wave_native._ext, "host_breakdown"):
             hq, ht, hs = wave_native._ext.host_breakdown(wd)
-            self.stats["host_oversize_q"] += hq
-            self.stats["host_oversize_t"] += ht
-            self.stats["host_sched"] += hs
+            self._stat("host_oversize_q", hq)
+            self._stat("host_oversize_t", ht)
+            self._stat("host_sched", hs)
         rows, frac, off = wave_native.finish(wd)
         if needs:
             from ..ops import chain_native
@@ -731,8 +741,8 @@ class BatchAligner:
                     regionops.mem_chain2aln(self.opt, self.fm,
                                             len(seqs[r]), seqs[r], c, regs)
                 py[r] = regs
-                self.stats["ext_tasks_host"] += sum(
-                    len(c.seeds) for c in chains)
+                self._stat("ext_tasks_host", sum(
+                    len(c.seeds) for c in chains))
             rows, frac, off = wave_native.splice(rows, frac, off, py)
         return rows, frac, off
 
@@ -853,8 +863,8 @@ class BatchAligner:
                     full.copy_to_host_async()
                 except AttributeError:
                     pass
-            self.stats["waves"] += 1
-            self.stats["ext_tasks_device"] += count
+            self._stat("waves")
+            self._stat("ext_tasks_device", count)
             ctx["inflight"][si] = count
             return full, meta
 
@@ -906,12 +916,12 @@ class BatchAligner:
         rows_l, frac_l, off_parts = [], [], [np.zeros(1, np.int64)]
         total = 0
         for ctx in ctxs:
-            self.stats["ext_tasks_host"] += wave_native.host_tasks(ctx["wd"])
+            self._stat("ext_tasks_host", wave_native.host_tasks(ctx["wd"]))
             if hasattr(wave_native._ext, "host_breakdown"):
                 hq, ht, hs = wave_native._ext.host_breakdown(ctx["wd"])
-                self.stats["host_oversize_q"] += hq
-                self.stats["host_oversize_t"] += ht
-                self.stats["host_sched"] += hs
+                self._stat("host_oversize_q", hq)
+                self._stat("host_oversize_t", ht)
+                self._stat("host_sched", hs)
             rows, frac, off = wave_native.finish(ctx["wd"])
             rows_l.append(rows)
             frac_l.append(frac)
@@ -935,8 +945,8 @@ class BatchAligner:
                     regionops.mem_chain2aln(self.opt, self.fm,
                                             len(seqs[r]), seqs[r], c, regs)
                 py[r] = regs
-                self.stats["ext_tasks_host"] += sum(
-                    len(c.seeds) for c in chains)
+                self._stat("ext_tasks_host", sum(
+                    len(c.seeds) for c in chains))
             rows, frac, off = wave_native.splice(rows, frac, off, py)
         return rows, frac, off
 
@@ -994,14 +1004,14 @@ class BatchAligner:
                 if self._fits(t, dev_idx(ridx)):
                     pending[ridx] = [t, 0, None]
                     return True
-                self.stats["ext_tasks_host"] += 1
+                self._stat("ext_tasks_host")
                 res = regionops.run_task_host(opt, t)
 
         # bootstrap: oversized first tasks
         for ridx in list(pending):
             t = pending[ridx][0]
             if not self._fits(t, dev_idx(ridx)):
-                self.stats["ext_tasks_host"] += 1
+                self._stat("ext_tasks_host")
                 advance(ridx, regionops.run_task_host(opt, t))
 
         W = opt.w
@@ -1019,7 +1029,7 @@ class BatchAligner:
             has_right = len(t.q_right) > 0
             if stage == 0 and has_left and lmo >= RETRY_OFF:
                 entry[1] = 1      # redo left@2w (+right with new h0)
-                self.stats["band_retries"] += 1
+                self._stat("band_retries")
                 return
             if stage in (0, 1):
                 aw0 = (W << 1) if (stage == 1 and has_left) else W
@@ -1028,7 +1038,7 @@ class BatchAligner:
                 if has_right and rs_ != sc0 and rmo >= RETRY_OFF:
                     entry[1] = 2  # right-only retry @2w, h0 = sc0
                     entry[2] = lfinal
-                    self.stats["band_retries"] += 1
+                    self._stat("band_retries")
                     return
                 rfinal = (rs_, rq, rt, rg, rgs, W)
             else:  # stage 2: right half from this row, left half saved
@@ -1065,8 +1075,8 @@ class BatchAligner:
             with tracer.span("wave.dispatch"):
                 out = buf.run_async(opt, self.dfm, self._dev_reads,
                                     self.smem_L)
-            self.stats["waves"] += 1
-            self.stats["ext_tasks_device"] += len(slots)
+            self._stat("waves")
+            self._stat("ext_tasks_device", len(slots))
             return slots, out
 
         def apply(entry):
