@@ -115,15 +115,23 @@ def _take_row(arr, idx):
 
 
 def _scatter_slot(arr, idx, val, do):
-    """arr[b, :, idx[b]] = val[b, :] where do[b] — masked one-hot select.
+    """arr[b, :, idx[b]] = val[b, :] where do[b] — flat 1-D scatter.
 
-    Two TPU lowering rules shape this: (a) variadic scatters lower to B
-    sequential row updates, so writes are dense selects; (b) the minor
-    dimension tiles to 128 vector lanes, so the slot axis is kept MINOR
-    ([B, K, N_slots]) — a [B, N, K<=4] layout wastes ~32x on tile padding."""
-    sel = (jnp.arange(arr.shape[2], dtype=I32)[None, :] == idx[:, None]) \
-        & do[:, None]
-    return jnp.where(sel[:, None, :], val[:, :, None], arr)
+    The round-2 one-hot-select formulation (jnp.where over the whole
+    [NL, K, N] buffer) rewrites every break buffer in full on EVERY
+    while-loop iteration — the fwd scan was HBM-bound on those rewrites
+    (~30 MB/iteration at NB=160), not on the occ gathers. A flat
+    scalar-index scatter (K*NL elements, mode=drop) lowers to an
+    in-place update of the loop carry instead (row/variadic scatters DO
+    lower to B sequential row updates — this is elementwise, which
+    doesn't)."""
+    NL, K, N = arr.shape
+    lane = jnp.arange(NL, dtype=I32)
+    base = jnp.where(do, lane * (K * N) + idx, NL * K * N)
+    flat_idx = (base[:, None]
+                + jnp.arange(K, dtype=I32)[None, :] * N).reshape(-1)
+    return arr.reshape(-1).at[flat_idx].set(
+        val.reshape(-1), mode="drop").reshape(NL, K, N)
 
 
 def _take_slot(arr, idx):
@@ -134,9 +142,12 @@ def _take_slot(arr, idx):
 
 
 def _scatter1(arr, idx, val, do):
-    sel = (jnp.arange(arr.shape[1], dtype=I32)[None, :] == idx[:, None]) \
-        & do[:, None]
-    return jnp.where(sel, val[:, None], arr)
+    """arr[b, idx[b]] = val[b] where do[b] — flat 1-D scatter (see
+    _scatter_slot for why not a one-hot select)."""
+    NL, N = arr.shape
+    flat_idx = jnp.where(do, jnp.arange(NL, dtype=I32) * N + idx, NL * N)
+    return arr.reshape(-1).at[flat_idx].set(
+        val, mode="drop").reshape(NL, N)
 
 
 def _p3_pre(dfm: DeviceFM, L: int, q, jl, valid_base, s):
@@ -353,57 +364,91 @@ def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
 
 def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
                       mi, alive0, CS: int):
-    """Phase B: recorded break intervals walk backward in parallel, as a
-    lax.scan over CS-lane CHUNKS of the front-packed break queue.
+    """Phase B: recorded break intervals walk backward via a persistent
+    WORKLIST of A active lanes over the front-packed break queue.
 
-    The queue capacity (M lanes) is sized for tail reads (~48
-    breaks/read), but a typical batch fills ~25% of it; walking the whole
-    pool would probe occ for every capacity lane on every iteration.
-    Each scan step walks one chunk until all its lanes die; chunks past
-    the packed prefix are all-dead on entry and exit after one condition
-    check, so probe volume tracks the REAL break count, not capacity.
-    scan stacks per-chunk outputs instead of carrying M-sized
-    accumulators through a loop.
+    The round-4 chunked design (while_loop per CS-lane chunk of the
+    sorted pool) paid ~1,400 sequential loop iterations per batch —
+    launch-bound, ~150 us each, 210 ms of the 540 ms seed program.
+    Worklist: A lanes walk; a lane whose walk dies writes its result
+    (4 one-element-per-lane scatters, measured ~free) and immediately
+    pulls the next queue entry, so total iterations ~ max(total_steps/A,
+    longest_walk) — ~150 for a typical batch, utilization-optimal for
+    ANY walk-length distribution (no chunk-schedule tuning; robust on
+    novel genomes). Callers sort the queue longest-bound-first so the
+    drain tail finishes on short walks.
 
-    Returns (r int32[M] death step, bst int64[M,3] state at maximal
-    backward reach); lanes with alive0=False report r = i_b0."""
+    Returns (r int32[M] death step, bst [M,3] state at maximal backward
+    reach); lanes with alive0=False report r = i_b0."""
     M = i_b0.shape[0]
-    if M % CS != 0:
-        CS = M   # small pools (tiny batches / big-redo): one chunk
-    NCH = M // CS
-    xs = (bst0.reshape(NCH, CS, 3), i_b0.reshape(NCH, CS),
-          read_id.reshape(NCH, CS), mi.reshape(NCH, CS),
-          alive0.reshape(NCH, CS))
+    A = min(max(4 * CS, 2048), M)
+    dt = bst0.dtype
+    total = alive0.astype(I32).sum(dtype=I32)  # live prefix (front-packed)
 
-    def chunk(carry, x):
-        bst0c, i_b0c, rid, mi_c, alive0c = x
-        st0 = dict(bst=bst0c, i_b=i_b0c, alive=alive0c,
-                   r=jnp.where(alive0c, BIG32, i_b0c),
-                   it=jnp.zeros((), I32))
+    # outputs default to the dead-on-entry convention (r=i_b0, bst=bst0)
+    r_out = i_b0
+    b_out = [bst0[:, 0], bst0[:, 1], bst0[:, 2]]
 
-        def cond(s):
-            return (s["it"] < L + 2) & jnp.any(s["alive"])
+    MI = jnp.asarray(M, I32)               # drop sentinel
+    lane = jnp.arange(A, dtype=I32)
+    qi0 = lane                             # first A queue entries
+    act0 = qi0 < total
+    st0 = dict(qi=qi0, act=act0,
+               bst=bst0[jnp.minimum(qi0, M - 1)],
+               i_b=i_b0[jnp.minimum(qi0, M - 1)],
+               rid=read_id[jnp.minimum(qi0, M - 1)],
+               mi=mi[jnp.minimum(qi0, M - 1)],
+               nxt=jnp.minimum(jnp.asarray(A, I32), total),
+               r_out=r_out, b0=b_out[0], b1=b_out[1], b2=b_out[2],
+               it=jnp.zeros((), I32))
+    # safety budget: total work / A + one longest walk (never binds)
+    ITB = (M * (L + 2)) // A + L + 8
 
-        def step(s):
-            alive, i_b, bst = s["alive"], s["i_b"], s["bst"]
-            qb = q_flat[rid * L + jnp.clip(i_b, 0, L - 1)]
-            valid_c = (i_b >= 0) & (qb < 4)
-            ok = bwt_extend_dir_batch(dfm, bst, jnp.ones(CS, bool))
-            okc = _take_row(ok, jnp.clip(qb, 0, 3))
-            dead = alive & (~valid_c | (okc[:, 2] < mi_c))
-            walk = alive & ~dead
-            bst = jnp.where(walk[:, None], okc, bst)
-            i_b = jnp.where(walk, i_b - 1, i_b)
-            r = jnp.where(dead, i_b, s["r"])
-            return dict(bst=bst, i_b=i_b, alive=walk, r=r, it=s["it"] + 1)
+    def cond(s):
+        return (s["it"] < ITB) & jnp.any(s["act"])
 
-        out = jax.lax.while_loop(cond, step, st0)
-        # iteration budget blown (never for L+2 >= max walk): as death
-        return carry, (jnp.where(out["alive"], out["i_b"], out["r"]),
-                       out["bst"])
+    def step(s):
+        act, i_b, bst = s["act"], s["i_b"], s["bst"]
+        qb = q_flat[s["rid"] * L + jnp.clip(i_b, 0, L - 1)]
+        valid_c = (i_b >= 0) & (qb < 4)
+        ok = bwt_extend_dir_batch(dfm, bst, jnp.ones(A, bool))
+        okc = _take_row(ok, jnp.clip(qb, 0, 3))
+        dead = act & (~valid_c | (okc[:, 2] < s["mi"]))
+        walk = act & ~dead
+        # finished entries: write result at their queue index (state at
+        # maximal reach = bst BEFORE this failed step)
+        widx = jnp.where(dead, s["qi"], MI)
+        r_out = s["r_out"].at[widx].set(i_b, mode="drop")
+        b0 = s["b0"].at[widx].set(bst[:, 0], mode="drop")
+        b1 = s["b1"].at[widx].set(bst[:, 1], mode="drop")
+        b2 = s["b2"].at[widx].set(bst[:, 2], mode="drop")
+        # survivors advance
+        bst = jnp.where(walk[:, None], okc, bst)
+        i_b = jnp.where(walk, i_b - 1, i_b)
+        # dead lanes refill from the queue head
+        d32 = dead.astype(I32)
+        new_qi = s["nxt"] + jnp.cumsum(d32) - d32
+        refill = dead & (new_qi < total)
+        qsrc = jnp.minimum(jnp.where(refill, new_qi, 0), M - 1)
+        bst = jnp.where(refill[:, None], bst0[qsrc], bst)
+        i_b = jnp.where(refill, i_b0[qsrc], i_b)
+        rid = jnp.where(refill, read_id[qsrc], s["rid"])
+        mi_a = jnp.where(refill, mi[qsrc], s["mi"])
+        qi = jnp.where(dead, jnp.where(refill, new_qi, MI), s["qi"])
+        nxt = s["nxt"] + d32.sum(dtype=I32)
+        act = walk | refill
+        return dict(qi=qi, act=act, bst=bst, i_b=i_b, rid=rid, mi=mi_a,
+                    nxt=nxt, r_out=r_out, b0=b0, b1=b1, b2=b2,
+                    it=s["it"] + 1)
 
-    _, (r, bst) = jax.lax.scan(chunk, jnp.zeros((), I32), xs)
-    return r.reshape(M), bst.reshape(M, 3)
+    out = jax.lax.while_loop(cond, step, st0)
+    # iteration budget blown (never for the ITB above): record as death
+    widx = jnp.where(out["act"], out["qi"], MI)
+    r = out["r_out"].at[widx].set(out["i_b"], mode="drop")
+    b0 = out["b0"].at[widx].set(out["bst"][:, 0], mode="drop")
+    b1 = out["b1"].at[widx].set(out["bst"][:, 1], mode="drop")
+    b2 = out["b2"].at[widx].set(out["bst"][:, 2], mode="drop")
+    return r, jnp.stack([b0, b1, b2], axis=-1).astype(dt)
 
 
 def _cohort_emit(r, brk_g, valid, NB: int):
@@ -479,14 +524,14 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     src, dst, lane_ok, dropped = _compact((valid & ~doa).reshape(-1),
                                           PBUD)
     # order the pool by walk-length BOUND (a lane starting at i_b0 dies
-    # within i_b0+2 probes): each CS-chunk's while loop runs to its own
-    # max, so mixing a p99 walk into every chunk makes every chunk pay
-    # ~p99 iterations — sorted, short walks share chunks that exit after
-    # a few probes (measured 0.35 ms/read -> ~0.2 ms/read on the repeat
-    # fixture). The argsort costs ~1 ms, far under what it saves.
+    # within i_b0+2 probes), LONGEST FIRST: the worklist walker issues
+    # queue entries in order, so starting the longest walks first means
+    # the drain tail (lanes finishing after the queue empties) runs on
+    # the shortest walks. The argsort costs ~1 ms, far under the drain
+    # iterations it saves.
     i_b0_all = (s["brk_x"] - 1).reshape(-1)
     if SORT_BWD_POOL:
-        order_key = jnp.where(lane_ok, i_b0_all[src], BIG32)
+        order_key = jnp.where(lane_ok, -i_b0_all[src], BIG32)
         perm = jnp.argsort(order_key)
         src = src[perm]
         lane_ok = jnp.arange(PBUD, dtype=I32) < lane_ok.sum().astype(I32)
@@ -698,9 +743,12 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     ovf = ovf | jnp.zeros(B, I32).at[rid2e].max(
         (v2 & (p2 >= M2)).astype(I32) * OVF_P2_EMIT, mode="drop")
     dst2 = jnp.where(keep2, rid2e * M2 + p2, B * M2)
-    ent2 = mems2l.transpose(0, 2, 1).reshape(TBUD * NB2, 4)
-    mems2 = jnp.zeros((B * M2, 4), dt).at[dst2].set(
-        ent2, mode="drop").reshape(B, M2, 4).transpose(0, 2, 1)
+    # per-component flat scatters: a row scatter ([TBUD*NB2, 4] updates)
+    # lowers to sequential per-row writes on TPU; four elementwise
+    # scatters with the shared index vector lower to the fast path
+    cols = [jnp.zeros(B * M2, dt).at[dst2].set(
+        mems2l[:, c, :].reshape(-1), mode="drop") for c in range(4)]
+    mems2 = jnp.stack(cols, 0).reshape(4, B, M2).transpose(1, 0, 2)
     n2 = jnp.minimum(cnt2, M2)
 
     # pass 3 ran fused with pass 1 above (skipped if max_mem_intv <= 0)
