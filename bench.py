@@ -180,12 +180,22 @@ def make_se_reads(rng, genome, n):
     return reads
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    if n == 0:
+        return None
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
 class E2ERunner:
     """SE e2e through the production AlignPipeline, re-timable: the
     shared tunnel chip's throughput swings several-fold over MINUTES, so
-    main() spreads timed passes across the whole bench runtime and keeps
-    the best — three back-to-back passes all land in whatever window the
-    bench started in."""
+    main() spreads timed passes across the whole bench runtime. The
+    HEADLINE is the MEDIAN pass (round-4 verdict task 5: best-of-N vs
+    the comparator's best-of-2 favored the repo); best is reported as
+    extra. Real bwa runs the same number of passes, interleaved at the
+    same spread points."""
 
     def __init__(self, opt, fm, reads):
         from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
@@ -198,7 +208,7 @@ class E2ERunner:
         self.batches = [reads[i:i + BATCH]
                         for i in range(0, N_E2E, BATCH)]
         self.warm = [reads[:BATCH]]
-        self.best_dt = float("inf")
+        self.times: list[float] = []
         self._warmed = False
 
     def run_pass(self) -> float:
@@ -214,15 +224,73 @@ class E2ERunner:
         self.pipe.run(iter(self.batches), done.extend)
         dt = time.time() - t0
         assert len(done) == N_E2E
-        self.best_dt = min(self.best_dt, dt)
+        self.times.append(dt)
         return N_E2E / dt
 
     @property
-    def rps(self) -> float:
-        return N_E2E / self.best_dt
+    def rps(self) -> float:         # median (the headline)
+        return N_E2E / _median(self.times)
+
+    @property
+    def best_rps(self) -> float:
+        return N_E2E / min(self.times)
 
     def close(self):
         self.pipe.close()
+
+
+class RealBwaRunner:
+    """The REAL bwa binary (vendored reference core, tests/oracle.py),
+    single-threaded, same genome + reads — re-timable so its passes
+    interleave with the repo's at the same spread points (symmetric
+    draw policy, round-4 verdict task 5)."""
+
+    def __init__(self, genome, reads):
+        import subprocess
+        from tests.oracle import build_oracle
+        self._sp = subprocess
+        self.bwa = build_oracle()
+        self.ok = self.bwa is not None
+        if not self.ok:
+            return
+        d = CACHE / "realbwa"
+        d.mkdir(exist_ok=True)
+        self.fa = d / "ref.fa"
+        if not (d / "ref.fa.sa").exists():
+            with open(self.fa, "w") as f:
+                f.write(">chr1\n")
+                s = genome.tobytes().decode()
+                for i in range(0, len(s), 80):
+                    f.write(s[i:i + 80] + "\n")
+            subprocess.run([str(self.bwa), "index", str(self.fa)],
+                           check=True, capture_output=True)
+        self.n = min(8192, len(reads))
+        self.fq = d / "reads.fq"
+        with open(self.fq, "w") as f:
+            for r in reads[:self.n]:
+                seq = "".join("ACGTN"[int(c)] for c in r.seq)
+                f.write(f"@{r.name}\n{seq}\n+\n{r.qual}\n")
+        self.args = [str(self.bwa), "mem", "-t1", str(self.fa),
+                     str(self.fq)]
+        self.times: list[float] = []
+        # warm (page cache / index file)
+        subprocess.run(self.args, check=True, capture_output=True)
+
+    def run_pass(self) -> float:
+        t0 = time.time()
+        self._sp.run(self.args, check=True, capture_output=True)
+        dt = time.time() - t0
+        self.times.append(dt)
+        return self.n / dt
+
+    @property
+    def rps(self):                  # median
+        m = _median(self.times)
+        return self.n / m if m else None
+
+    @property
+    def best_rps(self):
+        return self.n / min(self.times) if self.times else None
 
 
 def bench_e2e(rng, genome, fm, opt, reads):
@@ -233,14 +301,7 @@ def bench_e2e(rng, genome, fm, opt, reads):
     return runner
 
 
-def bench_e2e_pe(rng, genome, fm, opt):
-    """End-to-end PE (pestat + pairing + rescue) through the pipeline —
-    the production-dominant mode (round-1 verdict task 5)."""
-    import copy
-    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
-    from bwa_flow_tpu.utils.opts import MEM_F_PE
-
-    n_pairs = N_E2E // 2
+def make_pe_reads(rng, genome, n_pairs):
     reads = []
     rc = {0: 3, 1: 2, 2: 1, 3: 0, 4: 4}
     for i in range(n_pairs):
@@ -257,6 +318,16 @@ def bench_e2e_pe(rng, genome, fm, opt):
                           id=2 * i))
         reads.append(Read(name=f"p{i}", seq=r2, qual="I" * READ_LEN,
                           id=2 * i + 1))
+    return reads
+
+
+def bench_e2e_pe(rng, genome, fm, opt, reads):
+    """End-to-end PE (pestat + pairing + rescue) through the pipeline —
+    the production-dominant mode (round-1 verdict task 5)."""
+    import copy
+    from bwa_flow_tpu.pipeline.dataflow import AlignPipeline
+    from bwa_flow_tpu.utils.opts import MEM_F_PE
+
     opt_pe = copy.deepcopy(opt)
     opt_pe.flag |= MEM_F_PE
     n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
@@ -281,46 +352,56 @@ def bench_e2e_pe(rng, genome, fm, opt):
     return len(reads) / dt
 
 
-def bench_real_bwa(rng, genome, reads):
-    """Time the REAL bwa binary (the vendored reference core built by
-    tests/oracle.py) single-threaded on the same genome + reads — the
-    honest vs_baseline denominator (round-2 verdict task 2: the repo's
-    own NumPy golden at ~48 reads/s implied a fantasy 313x; the bar is
-    the genuine C implementation, benchmarks/run.sh:1-44)."""
+def bench_real_bwa_pe(genome, reads, n_pairs=4096):
+    """Real `bwa mem -t1` on the PE fixture — the PE denominator the
+    round-4 bench never recorded (verdict task 4)."""
     import subprocess
-    sys.path.insert(0, str(ROOT))
     from tests.oracle import build_oracle
     bwa = build_oracle()
     if bwa is None:
         return None
     d = CACHE / "realbwa"
-    d.mkdir(exist_ok=True)
     fa = d / "ref.fa"
     if not (d / "ref.fa.sa").exists():
-        with open(fa, "w") as f:
-            f.write(">chr1\n")
-            s = genome.tobytes().decode()
-            for i in range(0, len(s), 80):
-                f.write(s[i:i + 80] + "\n")
-        subprocess.run([str(bwa), "index", str(fa)], check=True,
-                       capture_output=True)
-    fq = d / "reads.fq"
-    n = min(8192, len(reads))
-    with open(fq, "w") as f:
-        for r in reads[:n]:
-            seq = "".join("ACGTN"[int(c)] for c in r.seq)
-            f.write(f"@{r.name}\n{seq}\n+\n{r.qual}\n")
-    # warm run (page cache / index file), then best-of-2 timed runs —
-    # symmetric with the repo e2e's best-of-N (the shared host's load
-    # swings hit both sides; single draws made the ratio noisy)
-    subprocess.run([str(bwa), "mem", "-t1", str(fa), str(fq)],
-                   check=True, capture_output=True)
+        return None
+    fq1, fq2 = d / "pe_1.fq", d / "pe_2.fq"
+    n = min(n_pairs, len(reads) // 2)
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(n):
+            for r, f in ((reads[2 * i], f1), (reads[2 * i + 1], f2)):
+                seq = "".join("ACGTN"[int(c)] for c in r.seq)
+                f.write(f"@{r.name}\n{seq}\n+\n{r.qual}\n")
+    args = [str(bwa), "mem", "-t1", str(fa), str(fq1), str(fq2)]
+    subprocess.run(args, check=True, capture_output=True)  # warm
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
-        subprocess.run([str(bwa), "mem", "-t1", str(fa), str(fq)],
-                       check=True, capture_output=True)
+        subprocess.run(args, check=True, capture_output=True)
         dt = min(dt, time.time() - t0)
+    return 2 * n / dt
+
+
+def bench_sorted_bam():
+    """Full production pipeline — align + markdup + bucket sort + BAM out
+    (the reference's harness always times its complete pipeline,
+    /root/reference/benchmarks/run.sh:1-44; round-4 verdict task 6).
+    Runs the CLI surface in-process (jitted programs stay warm)."""
+    import tempfile
+    from bwa_flow_tpu import cli
+    d = CACHE / "realbwa"
+    if not (d / "ref.fa.sa").exists():
+        return None
+    fq = d / "reads.fq"
+    n = sum(1 for _ in open(fq)) // 4
+    with tempfile.TemporaryDirectory() as td:
+        bam = os.path.join(td, "out.bam")
+        argv = ["mem", "--sort", "-o", bam, str(d / "ref.fa"), str(fq)]
+        rc = cli.main_mem(argv)          # warm (programs cached)
+        if rc:
+            return None
+        t0 = time.time()
+        cli.main_mem(argv)
+        dt = time.time() - t0
     return n / dt
 
 
@@ -427,8 +508,9 @@ def main():
     print(f"# smem seeding: {smem_rps:.0f} reads/s", file=sys.stderr)
     reads = make_se_reads(rng, genome, N_E2E)
     runner = bench_e2e(rng, genome, fm, opt, reads)
-    e2e_rps, stats = runner.rps, runner.pipe.ba.stats
-    print(f"# e2e: {e2e_rps:.0f} reads/s  {stats}", file=sys.stderr)
+    stats = runner.pipe.ba.stats
+    print(f"# e2e (2 passes): median {runner.rps:.0f} best "
+          f"{runner.best_rps:.0f} reads/s  {stats}", file=sys.stderr)
     from bwa_flow_tpu.utils.trace import GLOBAL as _tr
     print("# SE spans:\n" + _tr.report(), file=sys.stderr)
     _tr.totals.clear()
@@ -436,76 +518,95 @@ def main():
     host_rps = bench_host_oracle(rng, genome, fm, opt)
     print(f"# host golden (1 core): {host_rps:.1f} reads/s", file=sys.stderr)
     try:
-        real_rps = bench_real_bwa(rng, genome, reads)
+        real = RealBwaRunner(genome, reads)
+        if real.ok:
+            for _ in range(2):
+                real.run_pass()
+            print(f"# real bwa mem -t1: median {real.rps:.0f} best "
+                  f"{real.best_rps:.0f} reads/s", file=sys.stderr)
     except Exception as e:
         print(f"# real bwa bench failed: {e!r}", file=sys.stderr)
-        real_rps = None
-    if real_rps:
-        print(f"# real bwa mem -t1 (1 core): {real_rps:.0f} reads/s",
-              file=sys.stderr)
+        real = None
+
+    def real_rps():
+        return real.rps if real is not None and real.ok and real.times \
+            else None
 
     ext_dev = stats.get("ext_tasks_device", 0)
     ext_host = stats.get("ext_tasks_host", 0)
     extra = {
         "e2e_pe_reads_per_s": None,
+        "vs_real_bwa_pe": None,
+        "e2e_sorted_bam_reads_per_s": None,
+        "e2e_se_best": None,
+        "real_bwa_best": None,
         "banded_sw_extend_gcups": round(gcups, 3),
         "smem_seed_reads_per_s": round(smem_rps, 1),
-        "real_bwa_reads_per_s": round(real_rps, 1) if real_rps else None,
-        "vs_real_bwa_1core": round(e2e_rps / real_rps, 2) if real_rps
-        else None,
+        "real_bwa_reads_per_s": None,
+        "vs_real_bwa_1core": None,
         "host_golden_reads_per_s": round(host_rps, 2),
-        "vs_host_golden": round(e2e_rps / host_rps, 1) if host_rps
-        else None,
+        "vs_host_golden": None,
         "host_oracle_gcups": round(cpu_gcups, 4),
         "ext_tasks_device": ext_dev,
         "ext_tasks_host": ext_host,
         "ext_device_frac": round(ext_dev / max(ext_dev + ext_host, 1), 3),
         "e2e_gbp_reads_per_s": None,
         "e2e_human_3gbp_reads_per_s": None,
+        "n_passes": 0,
         "genome": "repeat-realistic (28% SINE, 12% LINE, 4% tandem)",
         "read_len": READ_LEN,
         "n_reads": N_E2E,
     }
 
     def headline():
-        # read the runner's CURRENT best: spread passes may improve it
+        # MEDIAN pass on both sides (same pass count, interleaved at the
+        # same spread points); best as extra
         rps = runner.rps
-        extra["vs_real_bwa_1core"] = round(rps / real_rps, 2) \
-            if real_rps else None
+        rr = real_rps()
+        extra["e2e_se_best"] = round(runner.best_rps, 1)
+        extra["real_bwa_reads_per_s"] = round(rr, 1) if rr else None
+        extra["real_bwa_best"] = round(real.best_rps, 1) if rr else None
+        extra["vs_real_bwa_1core"] = round(rps / rr, 2) if rr else None
         extra["vs_host_golden"] = round(rps / host_rps, 1) \
             if host_rps else None
+        extra["n_passes"] = len(runner.times)
         return json.dumps({
             "metric": "e2e_se_reads_per_s",
             "value": round(rps, 1),
             "unit": "reads/s/chip",
-            # honest multiple: the REAL bwa binary, single core, same
-            # genome + reads (NumPy golden only if bwa is unbuildable)
-            "vs_baseline": round(rps / real_rps, 2) if real_rps
+            # honest multiple: MEDIAN repo pass / MEDIAN real `bwa mem
+            # -t1` pass, same pass counts (golden only if unbuildable)
+            "vs_baseline": round(rps / rr, 2) if rr
             else round(rps / host_rps, 1) if host_rps else None,
             "extra": extra,
         })
 
     def spread_pass(tag):
-        # one more timed e2e pass in a fresh tunnel window (~6 s); keep
-        # the best across the bench's whole runtime
-        if remaining() < 30:
+        # one more timed pass PER SIDE in a fresh tunnel window; medians
+        # recompute over all passes
+        if remaining() < 45:
             return
         try:
             got = runner.run_pass()
-            print(f"# e2e spread pass ({tag}): {got:.0f} reads/s "
-                  f"(best {runner.rps:.0f})", file=sys.stderr)
+            if real is not None and real.ok:
+                real.run_pass()
+            print(f"# spread pass ({tag}): repo {got:.0f} "
+                  f"(median {runner.rps:.0f}) real "
+                  f"{(real.times and real.n/real.times[-1]) or 0:.0f} "
+                  f"(median {real_rps() or 0:.0f}) reads/s",
+                  file=sys.stderr)
         except Exception as e:
-            print(f"# e2e spread pass failed: {e!r}", file=sys.stderr)
+            print(f"# spread pass failed: {e!r}", file=sys.stderr)
 
     # the headline line ships NOW — optional phases can only add to it
     print(headline(), flush=True)
 
-    ran_optional = False
+    pe_reads = None
     if remaining() > 60:
         try:
-            pe_rps = bench_e2e_pe(rng, genome, fm, opt)
+            pe_reads = make_pe_reads(rng, genome, N_E2E // 2)
+            pe_rps = bench_e2e_pe(rng, genome, fm, opt, pe_reads)
             extra["e2e_pe_reads_per_s"] = round(pe_rps, 1)
-            ran_optional = True
             print(f"# e2e PE: {pe_rps:.0f} reads/s", file=sys.stderr)
             print("# PE spans:\n" + _tr.report(), file=sys.stderr)
             print(headline(), flush=True)  # re-ship after each phase
@@ -516,13 +617,36 @@ def main():
     else:
         print(f"# skipping PE phase ({remaining():.0f}s left)",
               file=sys.stderr)
+    if pe_reads is not None and remaining() > 45:
+        try:
+            real_pe = bench_real_bwa_pe(genome, pe_reads)
+            if real_pe and extra["e2e_pe_reads_per_s"]:
+                extra["vs_real_bwa_pe"] = round(
+                    extra["e2e_pe_reads_per_s"] / real_pe, 2)
+                print(f"# real bwa PE: {real_pe:.0f} reads/s "
+                      f"(vs_real_bwa_pe {extra['vs_real_bwa_pe']})",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"# real bwa PE failed: {e!r}", file=sys.stderr)
     spread_pass("post-PE")
+    if remaining() > 90:
+        try:
+            bam_rps = bench_sorted_bam()
+            if bam_rps:
+                extra["e2e_sorted_bam_reads_per_s"] = round(bam_rps, 1)
+                print(f"# e2e sorted BAM (align+markdup+sort+BAM): "
+                      f"{bam_rps:.0f} reads/s", file=sys.stderr)
+                print(headline(), flush=True)
+        except Exception as e:
+            print(f"# sorted BAM bench failed: {e!r}", file=sys.stderr)
+    else:
+        print(f"# skipping sorted-BAM phase ({remaining():.0f}s left)",
+              file=sys.stderr)
     if remaining() > 150:
         try:
             human_rps = bench_e2e_big(opt, "human", "e2e 3.1Gbp")
             if human_rps:
                 extra["e2e_human_3gbp_reads_per_s"] = round(human_rps, 1)
-                ran_optional = True
                 print(f"# e2e 3.1Gbp genome (int64 machine): "
                       f"{human_rps:.0f} reads/s", file=sys.stderr)
             else:
@@ -539,7 +663,6 @@ def main():
             gbp_rps = bench_e2e_big(opt, "gbp", "e2e 1Gbp")
             if gbp_rps:
                 extra["e2e_gbp_reads_per_s"] = round(gbp_rps, 1)
-                ran_optional = True
                 print(f"# e2e 1Gbp genome: {gbp_rps:.0f} reads/s",
                       file=sys.stderr)
                 print(headline(), flush=True)
@@ -554,7 +677,7 @@ def main():
     spread_pass("final")
     runner.close()
     # final complete line (the driver may parse any; all carry the full
-    # headline, and the e2e value is the best across every spread pass)
+    # headline; the e2e value is the MEDIAN across every spread pass)
     print(headline(), flush=True)
 
 

@@ -105,6 +105,24 @@ def _take1(arr, idx):
     return (arr * oh.astype(arr.dtype)).sum(axis=1, dtype=arr.dtype)
 
 
+def _q_at(q_flat, idx):
+    """q_flat[idx] for int32 idx[N] — as a width-8 ROW gather plus an
+    in-row select. Scalar 1-D gathers lower to ~13 ns/element on TPU
+    (measured: 107 us for 8k lanes from a 650k array, in-loop) while
+    [N, 8] row gathers run at ~2 ns/row; the read-symbol lookup sits in
+    every machine's inner loop, so this is the difference between ~40
+    and ~250 us per all-lane iteration. Requires len(q_flat) % 8 == 0
+    (pad_reads pads L to multiples of 8)."""
+    if q_flat.shape[0] % 8 != 0:
+        return q_flat[idx]
+    row = q_flat.reshape(-1, 8)[idx >> 3]
+    off = idx & 7
+    out = row[:, 0]
+    for j in range(1, 8):
+        out = jnp.where(off == j, row[:, j], out)
+    return out
+
+
 def _take_row(arr, idx):
     """arr[b, idx[b], :] for [B, 4, 3] arrays (idx in [0, 4)) — unrolled
     4-way select."""
@@ -150,15 +168,23 @@ def _scatter1(arr, idx, val, do):
         val, mode="drop").reshape(NL, N)
 
 
-def _p3_pre(dfm: DeviceFM, L: int, q, jl, valid_base, s):
-    """Pass-3 mode-0: acquire the next pivot (bwt_seed_strategy1 scan)."""
+def _p3_pre(dfm: DeviceFM, L: int, q, nxt_flat, s):
+    """Pass-3 mode-0: acquire the next pivot (bwt_seed_strategy1 scan).
+    nxt_flat as in _fwd_pre."""
     mode = s["mode"]
     m0 = mode == 0
-    ok_piv = (jl >= s["x"][:, None]) & valid_base
-    cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
+    B3 = q.shape[0]
+    x_s = s["x"]
+    cand = jnp.where(
+        x_s < L,
+        _q_at(nxt_flat,
+              jnp.arange(B3, dtype=I32) * L + jnp.clip(x_s, 0, L - 1)),
+        BIG32)
     found = cand < BIG32
     x = jnp.where(m0 & found, cand, s["x"])
-    qx = _take1(q, jnp.clip(x, 0, L - 1))
+    B3 = q.shape[0]
+    qx = _q_at(q.reshape(-1),
+               jnp.arange(B3, dtype=I32) * L + jnp.clip(x, 0, L - 1))
     init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
     start = m0 & found
     mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
@@ -173,7 +199,10 @@ def _p3_post(c: _MachineConsts, q, qlen, min_seed_len, max_mem_intv,
     mode, x, i, ik = s["mode"], s["x"], s["i"], s["ik"]
     m1 = mode == 1
     ended = m1 & (i >= qlen)          # loop exhausted: jump to len
-    q_i = _take1(q, jnp.clip(i, 0, c.L - 1))
+    B3 = q.shape[0]
+    q_i = _q_at(q.reshape(-1),
+                jnp.arange(B3, dtype=I32) * c.L
+                + jnp.clip(i, 0, c.L - 1))
     amb = m1 & ~ended & (q_i > 3)     # N base: jump to i+1, no seed
     live = m1 & ~ended & ~amb
     cf = jnp.clip(3 - q_i, 0, 3)
@@ -203,8 +232,7 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
     Standalone variant; collect_intv_device runs it fused with pass 1's
     forward scan (_p1p3_machine) to share iteration barriers."""
     B = q.shape[0]
-    jl = jnp.arange(c.L, dtype=I32)[None, :]
-    valid_base = (jl < qlen[:, None]) & (q < 4)  # loop-invariant
+    nxt_flat = _next_pivot_tab(q, qlen, c.L)
     st0 = dict(mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
                i=jnp.zeros(B, I32),
                ik=jnp.zeros((B, 3), I64), mems=mems, n_mem=n_mem,
@@ -214,7 +242,7 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
         return (s["it"] < c.ITERS) & jnp.any(s["mode"] != 3)
 
     def step(s):
-        s = _p3_pre(dfm, c.L, q, jl, valid_base, s)
+        s = _p3_pre(dfm, c.L, q, nxt_flat, s)
         ok = bwt_extend_dir_batch(dfm, s["ik"],
                                   jnp.zeros(s["ik"].shape[0], bool))
         return _p3_post(c, q, qlen, min_seed_len, max_mem_intv, s, ok)
@@ -236,16 +264,22 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
 # all-lane-barrier iterations and no [B,4,MAXM] rewrite inside any loop.
 
 
-def _fwd_pre(dfm: DeviceFM, L: int, q_flat, read_id, jl, valid_base, s):
-    """Pass-1 mode-0: acquire the next pivot (bwa jump rule)."""
+def _fwd_pre(dfm: DeviceFM, L: int, q_flat, read_id, nxt_flat, s):
+    """Pass-1 mode-0: acquire the next pivot (bwa jump rule).
+
+    nxt_flat[b*L + j] = the smallest valid pivot position >= j (BIG32
+    when none) — precomputed ONCE per scan by _next_pivot_tab, so pivot
+    acquisition is one row gather per iteration instead of a [B, L]
+    masked min every iteration."""
     mode, x = s["mode"], s["x"]
     m0 = mode == 0
-    ok_piv = (jl >= x[:, None]) & valid_base
-    cand = jnp.min(jnp.where(ok_piv, jl, BIG32), axis=1)
+    cand = jnp.where(
+        x < L,
+        _q_at(nxt_flat, read_id * L + jnp.clip(x, 0, L - 1)), BIG32)
     found = cand < BIG32
     start = m0 & found
     x = jnp.where(start, cand, x)
-    qx = q_flat[read_id * L + jnp.clip(x, 0, L - 1)]
+    qx = _q_at(q_flat, read_id * L + jnp.clip(x, 0, L - 1))
     init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
     mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
     return dict(s, mode=mode, x=x,
@@ -261,7 +295,7 @@ def _fwd_post(L: int, NB: int, q_flat, read_id, qlen_l, mi,
     mode, x, i, ik, ik_info, g, nb = (s["mode"], s["x"], s["i"], s["ik"],
                                       s["ik_info"], s["g"], s["nb"])
     m1 = mode == 1
-    q_i = q_flat[read_id * L + jnp.clip(i, 0, L - 1)]
+    q_i = _q_at(q_flat, read_id * L + jnp.clip(i, 0, L - 1))
     end_now = m1 & ((i >= qlen_l) | (q_i > 3))
     cf = jnp.clip(3 - q_i, 0, 3)
     okc = _take_row(ok, cf)
@@ -295,6 +329,15 @@ def _fwd_post(L: int, NB: int, q_flat, read_id, qlen_l, mi,
                 brk_g=brk_g, ovf=ovf, it=s["it"] + 1)
 
 
+def _next_pivot_tab(q2, qlen2, L: int):
+    """nxt[b, j] = smallest j' >= j with a valid pivot base (j' < qlen
+    and q < 4), else BIG32 — a reverse cummin, computed once per scan."""
+    jl = jnp.arange(L, dtype=I32)[None, :]
+    valid_base = (jl < qlen2[:, None]) & (q2 < 4)
+    vals = jnp.where(valid_base, jl, BIG32)
+    return jax.lax.cummin(vals, axis=1, reverse=True).reshape(-1)
+
+
 def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
                       q_flat, read_id, qlen_l, mi, st0, task_mode: bool,
                       q2=None, qlen2=None):
@@ -307,15 +350,14 @@ def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
     out (st0 arrives pre-initialized in mode 1/3)."""
     NL = st0["mode"].shape[0]
     if not task_mode:
-        jl = jnp.arange(L, dtype=I32)[None, :]
-        valid_base = (jl < qlen2[:, None]) & (q2 < 4)
+        nxt_flat = _next_pivot_tab(q2, qlen2, L)
 
     def cond(s):
         return (s["it"] < ITERS) & jnp.any(s["mode"] != 3)
 
     def step(s):
         if not task_mode:
-            s = _fwd_pre(dfm, L, q_flat, read_id, jl, valid_base, s)
+            s = _fwd_pre(dfm, L, q_flat, read_id, nxt_flat, s)
         ok = bwt_extend_dir_batch(dfm, s["ik"], jnp.zeros(NL, bool))
         return _fwd_post(L, NB, q_flat, read_id, qlen_l, mi, task_mode,
                          s, ok)
@@ -336,8 +378,7 @@ def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
     runs pass 3 for free inside pass 1's barrier count instead of
     paying a second ~qlen-iteration loop."""
     B = st1["mode"].shape[0]
-    jl = jnp.arange(L, dtype=I32)[None, :]
-    valid_base = (jl < qlen2[:, None]) & (q2 < 4)
+    nxt_flat = _next_pivot_tab(q2, qlen2, L)
     mi1 = jnp.ones(B, st1["ik"].dtype)  # pass-1 min_intv
 
     def cond(s):
@@ -345,8 +386,8 @@ def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
                                     | jnp.any(s["p3"]["mode"] != 3))
 
     def step(s):
-        s1 = _fwd_pre(dfm, L, q_flat, read_id, jl, valid_base, s["p1"])
-        s3 = _p3_pre(dfm, c3.L, q2, jl, valid_base, s["p3"])
+        s1 = _fwd_pre(dfm, L, q_flat, read_id, nxt_flat, s["p1"])
+        s3 = _p3_pre(dfm, c3.L, q2, nxt_flat, s["p3"])
         ik_all = jnp.concatenate([s1["ik"], s3["ik"]], axis=0)
         ok = bwt_extend_dir_batch(dfm, ik_all, jnp.zeros(2 * B, bool))
         s1 = _fwd_post(L, NB, q_flat, read_id, qlen_l, mi1, False,
@@ -385,6 +426,15 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
     dt = bst0.dtype
     total = alive0.astype(I32).sum(dtype=I32)  # live prefix (front-packed)
 
+    # the queue as ONE [M, 8] row-gatherable table: a refill pulls every
+    # per-entry field with a single ~2 ns/row gather instead of four
+    # scalar 1-D gathers at ~13 ns/element each (measured ~195 us/it of
+    # the walker's cost before packing)
+    z = jnp.zeros(M, dt)
+    qtab = jnp.stack([bst0[:, 0], bst0[:, 1], bst0[:, 2],
+                      i_b0.astype(dt), read_id.astype(dt),
+                      mi.astype(dt), z, z], axis=1)
+
     # outputs default to the dead-on-entry convention (r=i_b0, bst=bst0)
     r_out = i_b0
     b_out = [bst0[:, 0], bst0[:, 1], bst0[:, 2]]
@@ -393,11 +443,12 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
     lane = jnp.arange(A, dtype=I32)
     qi0 = lane                             # first A queue entries
     act0 = qi0 < total
+    row0 = qtab[jnp.minimum(qi0, M - 1)]
     st0 = dict(qi=qi0, act=act0,
-               bst=bst0[jnp.minimum(qi0, M - 1)],
-               i_b=i_b0[jnp.minimum(qi0, M - 1)],
-               rid=read_id[jnp.minimum(qi0, M - 1)],
-               mi=mi[jnp.minimum(qi0, M - 1)],
+               bst=row0[:, :3],
+               i_b=row0[:, 3].astype(I32),
+               rid=row0[:, 4].astype(I32),
+               mi=row0[:, 5],
                nxt=jnp.minimum(jnp.asarray(A, I32), total),
                r_out=r_out, b0=b_out[0], b1=b_out[1], b2=b_out[2],
                it=jnp.zeros((), I32))
@@ -409,7 +460,7 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
 
     def step(s):
         act, i_b, bst = s["act"], s["i_b"], s["bst"]
-        qb = q_flat[s["rid"] * L + jnp.clip(i_b, 0, L - 1)]
+        qb = _q_at(q_flat, s["rid"] * L + jnp.clip(i_b, 0, L - 1))
         valid_c = (i_b >= 0) & (qb < 4)
         ok = bwt_extend_dir_batch(dfm, bst, jnp.ones(A, bool))
         okc = _take_row(ok, jnp.clip(qb, 0, 3))
@@ -430,10 +481,11 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
         new_qi = s["nxt"] + jnp.cumsum(d32) - d32
         refill = dead & (new_qi < total)
         qsrc = jnp.minimum(jnp.where(refill, new_qi, 0), M - 1)
-        bst = jnp.where(refill[:, None], bst0[qsrc], bst)
-        i_b = jnp.where(refill, i_b0[qsrc], i_b)
-        rid = jnp.where(refill, read_id[qsrc], s["rid"])
-        mi_a = jnp.where(refill, mi[qsrc], s["mi"])
+        row = qtab[qsrc]                        # one row gather
+        bst = jnp.where(refill[:, None], row[:, :3], bst)
+        i_b = jnp.where(refill, row[:, 3].astype(I32), i_b)
+        rid = jnp.where(refill, row[:, 4].astype(I32), s["rid"])
+        mi_a = jnp.where(refill, row[:, 5], s["mi"])
         qi = jnp.where(dead, jnp.where(refill, new_qi, MI), s["qi"])
         nxt = s["nxt"] + d32.sum(dtype=I32)
         act = walk | refill
@@ -715,7 +767,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     rid2 = tsrc // NB                                  # owning read
     tx = jnp.where(tv, mid.reshape(-1)[tsrc], 0)
     tmi = jnp.where(tv, (mems1[:, 2, :] + 1).reshape(-1)[tsrc], dt.type(1))
-    qx = q_flat[rid2 * L + jnp.clip(tx, 0, L - 1)]
+    qx = _q_at(q_flat, rid2 * L + jnp.clip(tx, 0, L - 1))
     st2 = fresh(TBUD, NB2)
     st2.update(mode=jnp.where(tv, 1, 3), x=tx, i=tx + 1,
                ik=set_intv_batch(dfm, jnp.clip(qx, 0, 3)), ik_info=tx + 1)
