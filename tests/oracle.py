@@ -63,6 +63,41 @@ def build_oracle() -> pathlib.Path | None:
     return ORACLE_BIN
 
 
+SAMBLASTER_BIN = ORACLE_DIR / "samblaster_oracle"
+
+
+def build_samblaster() -> pathlib.Path | None:
+    """Build the vendored samblaster library plus a thin stdin/stdout
+    driver (tests/samblaster_driver.cpp) into .cache/oracle — the
+    markdup counterpart of build_oracle() (round-4 verdict task 8)."""
+    if SAMBLASTER_BIN.exists():
+        return SAMBLASTER_BIN
+    ref = pathlib.Path("/root/reference/src")
+    if not (ref / "samblaster.cpp").exists() or shutil.which("g++") is None:
+        return None
+    d = ORACLE_DIR / "samblaster"
+    d.mkdir(parents=True, exist_ok=True)
+    for f in ("samblaster.cpp", "samblaster.h", "sbhash.cpp", "sbhash.h"):
+        shutil.copy2(ref / f, d / f)
+    # sbhash.h includes boost headers it never uses (all boost code is
+    # commented out); strip them so the oracle builds without boost
+    sb = (d / "sbhash.h").read_text()
+    sb = "\n".join(ln for ln in sb.splitlines()
+                   if not (ln.startswith("#include <boost/")
+                           or ln.startswith("#include <glog/")))
+    (d / "sbhash.h").write_text(sb)
+    drv = REPO / "tests" / "samblaster_driver.cpp"
+    r = subprocess.run(
+        ["g++", "-O2", "-w", "-o", str(SAMBLASTER_BIN), str(drv),
+         str(d / "samblaster.cpp"), str(d / "sbhash.cpp"), f"-I{d}"],
+        capture_output=True, text=True)
+    if r.returncode != 0 or not SAMBLASTER_BIN.exists():
+        import sys
+        print(r.stderr[-2000:], file=sys.stderr)
+        return None
+    return SAMBLASTER_BIN
+
+
 def oracle_index(ref_fa: str | pathlib.Path) -> None:
     """Run the real `bwa index` on a FASTA (artifacts land beside it)."""
     bwa = build_oracle()
