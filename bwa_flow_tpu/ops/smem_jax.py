@@ -168,41 +168,36 @@ def _scatter1(arr, idx, val, do):
         val, mode="drop").reshape(NL, N)
 
 
-def _p3_pre(dfm: DeviceFM, L: int, q, nxt_flat, s):
-    """Pass-3 mode-0: acquire the next pivot (bwt_seed_strategy1 scan).
-    nxt_flat as in _fwd_pre."""
+def _p3_preA(L: int, nxt_cand, s):
+    """Pass-3 mode-0, phase A: acquire the next pivot from the
+    PREFETCHED next-valid-pivot value (bwt_seed_strategy1 scan). Split
+    from phase B so the caller can batch the nxt and q lookups of both
+    fused machines into one gather each (every gather is a fusion
+    boundary — the while body's cost is ~#kernels, not FLOPs)."""
     mode = s["mode"]
     m0 = mode == 0
-    B3 = q.shape[0]
-    x_s = s["x"]
-    cand = jnp.where(
-        x_s < L,
-        _q_at(nxt_flat,
-              jnp.arange(B3, dtype=I32) * L + jnp.clip(x_s, 0, L - 1)),
-        BIG32)
+    cand = jnp.where(s["x"] < L, nxt_cand, BIG32)
     found = cand < BIG32
-    x = jnp.where(m0 & found, cand, s["x"])
-    B3 = q.shape[0]
-    qx = _q_at(q.reshape(-1),
-               jnp.arange(B3, dtype=I32) * L + jnp.clip(x, 0, L - 1))
-    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
     start = m0 & found
+    x = jnp.where(start, cand, s["x"])
     mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
     return dict(s, mode=mode, x=x,
-                ik=jnp.where(start[:, None], init_ik, s["ik"]),
-                i=jnp.where(start, x + 1, s["i"]))
+                i=jnp.where(start, x + 1, s["i"])), start
 
 
-def _p3_post(c: _MachineConsts, q, qlen, min_seed_len, max_mem_intv,
-             s, ok):
-    """Pass-3 step after the shared occ probe (ok = bwt_extend rows)."""
+def _p3_preB(dfm: DeviceFM, s, start, qx):
+    """Pass-3 phase B: initial interval from the prefetched pivot base."""
+    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
+    return dict(s, ik=jnp.where(start[:, None], init_ik, s["ik"]))
+
+
+def _p3_post(c: _MachineConsts, qlen, min_seed_len, max_mem_intv,
+             s, ok, q_i):
+    """Pass-3 step after the shared occ probe (ok = bwt_extend rows;
+    q_i = prefetched read symbol at i)."""
     mode, x, i, ik = s["mode"], s["x"], s["i"], s["ik"]
     m1 = mode == 1
     ended = m1 & (i >= qlen)          # loop exhausted: jump to len
-    B3 = q.shape[0]
-    q_i = _q_at(q.reshape(-1),
-                jnp.arange(B3, dtype=I32) * c.L
-                + jnp.clip(i, 0, c.L - 1))
     amb = m1 & ~ended & (q_i > 3)     # N base: jump to i+1, no seed
     live = m1 & ~ended & ~amb
     cf = jnp.clip(3 - q_i, 0, 3)
@@ -226,31 +221,6 @@ def _p3_post(c: _MachineConsts, q, qlen, min_seed_len, max_mem_intv,
                 ovf=s["ovf"] | mem_ovf, it=s["it"] + 1)
 
 
-def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
-                   min_seed_len, max_mem_intv, mems, n_mem, ovf):
-    """LAST-like third pass (bwt_seed_strategy1, bwa/bwt.c:358-379).
-    Standalone variant; collect_intv_device runs it fused with pass 1's
-    forward scan (_p1p3_machine) to share iteration barriers."""
-    B = q.shape[0]
-    nxt_flat = _next_pivot_tab(q, qlen, c.L)
-    st0 = dict(mode=jnp.zeros(B, I32), x=jnp.zeros(B, I32),
-               i=jnp.zeros(B, I32),
-               ik=jnp.zeros((B, 3), I64), mems=mems, n_mem=n_mem,
-               ovf=ovf, it=jnp.zeros((), I32))
-
-    def cond(s):
-        return (s["it"] < c.ITERS) & jnp.any(s["mode"] != 3)
-
-    def step(s):
-        s = _p3_pre(dfm, c.L, q, nxt_flat, s)
-        ok = bwt_extend_dir_batch(dfm, s["ik"],
-                                  jnp.zeros(s["ik"].shape[0], bool))
-        return _p3_post(c, q, qlen, min_seed_len, max_mem_intv, s, ok)
-
-    out = jax.lax.while_loop(cond, step, st0)
-    return out["mems"], out["n_mem"], out["ovf"] | (out["mode"] != 3)
-
-
 # ---------------------------------------------------------------------------
 # Phase-split machine (round 3): the coupled pivot/forward/backward machine
 # above serializes every backward walk behind every other one — ~1000
@@ -264,38 +234,35 @@ def _pass3_machine(dfm: DeviceFM, c: _MachineConsts, q, qlen,
 # all-lane-barrier iterations and no [B,4,MAXM] rewrite inside any loop.
 
 
-def _fwd_pre(dfm: DeviceFM, L: int, q_flat, read_id, nxt_flat, s):
-    """Pass-1 mode-0: acquire the next pivot (bwa jump rule).
-
-    nxt_flat[b*L + j] = the smallest valid pivot position >= j (BIG32
-    when none) — precomputed ONCE per scan by _next_pivot_tab, so pivot
-    acquisition is one row gather per iteration instead of a [B, L]
-    masked min every iteration."""
+def _fwd_preA(L: int, nxt_cand, s):
+    """Pass-1 mode-0, phase A: acquire the next pivot (bwa jump rule)
+    from the PREFETCHED next-valid-pivot value (see _p3_preA)."""
     mode, x = s["mode"], s["x"]
     m0 = mode == 0
-    cand = jnp.where(
-        x < L,
-        _q_at(nxt_flat, read_id * L + jnp.clip(x, 0, L - 1)), BIG32)
+    cand = jnp.where(x < L, nxt_cand, BIG32)
     found = cand < BIG32
     start = m0 & found
     x = jnp.where(start, cand, x)
-    qx = _q_at(q_flat, read_id * L + jnp.clip(x, 0, L - 1))
-    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
     mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
     return dict(s, mode=mode, x=x,
-                ik=jnp.where(start[:, None], init_ik, s["ik"]),
                 ik_info=jnp.where(start, x + 1, s["ik_info"]),
                 i=jnp.where(start, x + 1, s["i"]),
-                g=jnp.where(start, s["g"] + 1, s["g"]))
+                g=jnp.where(start, s["g"] + 1, s["g"])), start
 
 
-def _fwd_post(L: int, NB: int, q_flat, read_id, qlen_l, mi,
-              task_mode: bool, s, ok):
-    """Forward-scan step after the shared occ probe."""
+def _fwd_preB(dfm: DeviceFM, s, start, qx):
+    """Pass-1 phase B: initial interval from the prefetched pivot base."""
+    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
+    return dict(s, ik=jnp.where(start[:, None], init_ik, s["ik"]))
+
+
+def _fwd_post(L: int, NB: int, qlen_l, mi,
+              task_mode: bool, s, ok, q_i):
+    """Forward-scan step after the shared occ probe (q_i = prefetched
+    read symbol at i)."""
     mode, x, i, ik, ik_info, g, nb = (s["mode"], s["x"], s["i"], s["ik"],
                                       s["ik_info"], s["g"], s["nb"])
     m1 = mode == 1
-    q_i = _q_at(q_flat, read_id * L + jnp.clip(i, 0, L - 1))
     end_now = m1 & ((i >= qlen_l) | (q_i > 3))
     cf = jnp.clip(3 - q_i, 0, 3)
     okc = _take_row(ok, cf)
@@ -308,9 +275,10 @@ def _fwd_post(L: int, NB: int, q_flat, read_id, qlen_l, mi,
     nb_ovf = push & (nb >= NB)
     do = push & ~nb_ovf
     brk_kls = _scatter_slot(s["brk_kls"], nb, ik, do)
-    brk_end = _scatter1(s["brk_end"], nb, ik_info, do)
-    brk_x = _scatter1(s["brk_x"], nb, x, do)
-    brk_g = _scatter1(s["brk_g"], nb, g, do)
+    # (end, x, g) consolidated into ONE i32 buffer/scatter: each
+    # separate scatter is its own kernel dispatch in the loop body
+    brk_meta = _scatter_slot(s["brk_meta"], nb,
+                             jnp.stack([ik_info, x, g], axis=1), do)
     nb = jnp.where(do, nb + 1, nb)
 
     ik = jnp.where(adv[:, None], okc, ik)
@@ -325,8 +293,8 @@ def _fwd_post(L: int, NB: int, q_flat, read_id, qlen_l, mi,
     ovf = s["ovf"] | nb_ovf
     mode = jnp.where(nb_ovf, 3, mode)
     return dict(s, mode=mode, x=x, i=i, ik=ik, ik_info=ik_info, g=g,
-                nb=nb, brk_kls=brk_kls, brk_end=brk_end, brk_x=brk_x,
-                brk_g=brk_g, ovf=ovf, it=s["it"] + 1)
+                nb=nb, brk_kls=brk_kls, brk_meta=brk_meta,
+                ovf=ovf, it=s["it"] + 1)
 
 
 def _next_pivot_tab(q2, qlen2, L: int):
@@ -345,9 +313,10 @@ def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
 
     Lanes NL: pass 1 = one per read (pivot jump rule is serial); pass 2
     = one per (read, task) (tasks are independent). Per-lane state in
-    st0; break store: brk_kls [NL,3,NB] i64, brk_end/brk_x/brk_g
-    [NL,NB] i32. In task_mode the pivot-acquisition scan is compiled
-    out (st0 arrives pre-initialized in mode 1/3)."""
+    st0; break store: brk_kls [NL,3,NB] in the coordinate dtype,
+    brk_meta [NL,3,NB] i32 = (end, x, g) rows. In task_mode the
+    pivot-acquisition scan is compiled out (st0 arrives pre-initialized
+    in mode 1/3)."""
     NL = st0["mode"].shape[0]
     if not task_mode:
         nxt_flat = _next_pivot_tab(q2, qlen2, L)
@@ -357,10 +326,19 @@ def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
 
     def step(s):
         if not task_mode:
-            s = _fwd_pre(dfm, L, q_flat, read_id, nxt_flat, s)
+            nc = _q_at(nxt_flat,
+                       read_id * L + jnp.clip(s["x"], 0, L - 1))
+            s, start = _fwd_preA(L, nc, s)
+            qv = _q_at(q_flat, jnp.concatenate([
+                read_id * L + jnp.clip(s["x"], 0, L - 1),
+                read_id * L + jnp.clip(s["i"], 0, L - 1)]))
+            s = _fwd_preB(dfm, s, start, qv[:NL])
+            q_i = qv[NL:]
+        else:
+            q_i = _q_at(q_flat,
+                        read_id * L + jnp.clip(s["i"], 0, L - 1))
         ok = bwt_extend_dir_batch(dfm, s["ik"], jnp.zeros(NL, bool))
-        return _fwd_post(L, NB, q_flat, read_id, qlen_l, mi, task_mode,
-                         s, ok)
+        return _fwd_post(L, NB, qlen_l, mi, task_mode, s, ok, q_i)
 
     out = jax.lax.while_loop(cond, step, st0)
     out["ovf"] = out["ovf"] | (out["mode"] != 3)
@@ -380,20 +358,36 @@ def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
     B = st1["mode"].shape[0]
     nxt_flat = _next_pivot_tab(q2, qlen2, L)
     mi1 = jnp.ones(B, st1["ik"].dtype)  # pass-1 min_intv
+    rid3 = jnp.arange(B, dtype=I32)
 
     def cond(s):
         return (s["it"] < ITERS) & (jnp.any(s["p1"]["mode"] != 3)
                                     | jnp.any(s["p3"]["mode"] != 3))
 
     def step(s):
-        s1 = _fwd_pre(dfm, L, q_flat, read_id, nxt_flat, s["p1"])
-        s3 = _p3_pre(dfm, c3.L, q2, nxt_flat, s["p3"])
+        # both machines' symbol-table lookups ride TWO batched gathers
+        # per iteration (nxt at old x; then q at new x and i): each
+        # gather is a fusion boundary, and the while body's cost is
+        # dominated by kernel count, not FLOPs
+        s1, s3 = s["p1"], s["p3"]
+        nc = _q_at(nxt_flat, jnp.concatenate([
+            read_id * L + jnp.clip(s1["x"], 0, L - 1),
+            rid3 * L + jnp.clip(s3["x"], 0, L - 1)]))
+        s1, start1 = _fwd_preA(L, nc[:B], s1)
+        s3, start3 = _p3_preA(c3.L, nc[B:], s3)
+        qv = _q_at(q_flat, jnp.concatenate([
+            read_id * L + jnp.clip(s1["x"], 0, L - 1),
+            read_id * L + jnp.clip(s1["i"], 0, L - 1),
+            rid3 * L + jnp.clip(s3["x"], 0, L - 1),
+            rid3 * L + jnp.clip(s3["i"], 0, L - 1)]))
+        s1 = _fwd_preB(dfm, s1, start1, qv[:B])
+        s3 = _p3_preB(dfm, s3, start3, qv[2 * B:3 * B])
         ik_all = jnp.concatenate([s1["ik"], s3["ik"]], axis=0)
         ok = bwt_extend_dir_batch(dfm, ik_all, jnp.zeros(2 * B, bool))
-        s1 = _fwd_post(L, NB, q_flat, read_id, qlen_l, mi1, False,
-                       s1, ok[:B])
-        s3 = _p3_post(c3, q2, qlen2, min_seed_len, max_mem_intv,
-                      s3, ok[B:])
+        s1 = _fwd_post(L, NB, qlen_l, mi1, False, s1, ok[:B],
+                       qv[B:2 * B])
+        s3 = _p3_post(c3, qlen2, min_seed_len, max_mem_intv,
+                      s3, ok[B:], qv[3 * B:])
         return dict(p1=s1, p3=s3, it=s["it"] + 1)
 
     out = jax.lax.while_loop(
@@ -436,10 +430,13 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
                       mi.astype(dt), z, z], axis=1)
 
     # outputs default to the dead-on-entry convention (r=i_b0, bst=bst0)
+    # bst columns live in ONE flat [3*M] buffer so a death writes them
+    # with a single scatter (kernel count is the walker's cost unit)
     r_out = i_b0
-    b_out = [bst0[:, 0], bst0[:, 1], bst0[:, 2]]
+    bflat = jnp.concatenate([bst0[:, 0], bst0[:, 1], bst0[:, 2]])
 
     MI = jnp.asarray(M, I32)               # drop sentinel
+    M32 = jnp.asarray(M, I32)
     lane = jnp.arange(A, dtype=I32)
     qi0 = lane                             # first A queue entries
     act0 = qi0 < total
@@ -450,7 +447,7 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
                rid=row0[:, 4].astype(I32),
                mi=row0[:, 5],
                nxt=jnp.minimum(jnp.asarray(A, I32), total),
-               r_out=r_out, b0=b_out[0], b1=b_out[1], b2=b_out[2],
+               r_out=r_out, bflat=bflat,
                it=jnp.zeros((), I32))
     # safety budget: total work / A + one longest walk (never binds)
     ITB = (M * (L + 2)) // A + L + 8
@@ -467,18 +464,23 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
         dead = act & (~valid_c | (okc[:, 2] < s["mi"]))
         walk = act & ~dead
         # finished entries: write result at their queue index (state at
-        # maximal reach = bst BEFORE this failed step)
+        # maximal reach = bst BEFORE this failed step); one scatter for
+        # r, one for all three bst columns
         widx = jnp.where(dead, s["qi"], MI)
         r_out = s["r_out"].at[widx].set(i_b, mode="drop")
-        b0 = s["b0"].at[widx].set(bst[:, 0], mode="drop")
-        b1 = s["b1"].at[widx].set(bst[:, 1], mode="drop")
-        b2 = s["b2"].at[widx].set(bst[:, 2], mode="drop")
+        widx3 = jnp.where(
+            jnp.tile(dead, 3),
+            jnp.concatenate([widx, widx + M32, widx + 2 * M32]), 3 * MI)
+        bvals = jnp.concatenate([bst[:, 0], bst[:, 1], bst[:, 2]])
+        bflat = s["bflat"].at[widx3].set(bvals, mode="drop")
         # survivors advance
         bst = jnp.where(walk[:, None], okc, bst)
         i_b = jnp.where(walk, i_b - 1, i_b)
         # dead lanes refill from the queue head
         d32 = dead.astype(I32)
-        new_qi = s["nxt"] + jnp.cumsum(d32) - d32
+        cs = jnp.cumsum(d32)
+        cs_last = cs[-1]
+        new_qi = s["nxt"] + cs - d32
         refill = dead & (new_qi < total)
         qsrc = jnp.minimum(jnp.where(refill, new_qi, 0), M - 1)
         row = qtab[qsrc]                        # one row gather
@@ -487,20 +489,23 @@ def _bwd_walk_machine(dfm: DeviceFM, L: int, q_flat, read_id, bst0, i_b0,
         rid = jnp.where(refill, row[:, 4].astype(I32), s["rid"])
         mi_a = jnp.where(refill, row[:, 5], s["mi"])
         qi = jnp.where(dead, jnp.where(refill, new_qi, MI), s["qi"])
-        nxt = s["nxt"] + d32.sum(dtype=I32)
+        nxt = s["nxt"] + jnp.where(A > 0, cs_last, 0)
         act = walk | refill
         return dict(qi=qi, act=act, bst=bst, i_b=i_b, rid=rid, mi=mi_a,
-                    nxt=nxt, r_out=r_out, b0=b0, b1=b1, b2=b2,
+                    nxt=nxt, r_out=r_out, bflat=bflat,
                     it=s["it"] + 1)
 
     out = jax.lax.while_loop(cond, step, st0)
     # iteration budget blown (never for the ITB above): record as death
     widx = jnp.where(out["act"], out["qi"], MI)
     r = out["r_out"].at[widx].set(out["i_b"], mode="drop")
-    b0 = out["b0"].at[widx].set(out["bst"][:, 0], mode="drop")
-    b1 = out["b1"].at[widx].set(out["bst"][:, 1], mode="drop")
-    b2 = out["b2"].at[widx].set(out["bst"][:, 2], mode="drop")
-    return r, jnp.stack([b0, b1, b2], axis=-1).astype(dt)
+    widx3 = jnp.where(
+        jnp.tile(out["act"], 3),
+        jnp.concatenate([widx, widx + M32, widx + 2 * M32]), 3 * MI)
+    bvals = jnp.concatenate([out["bst"][:, 0], out["bst"][:, 1],
+                             out["bst"][:, 2]])
+    bflat = out["bflat"].at[widx3].set(bvals, mode="drop")
+    return r, bflat.reshape(3, M).T.astype(dt)
 
 
 def _cohort_emit(r, brk_g, valid, NB: int):
@@ -562,15 +567,17 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     Returns (mems [NL,4,NB] dense-front in bwa emission order,
     n1 int32[NL], ovf bool[NL])."""
     NL = s["mode"].shape[0]
-    nb, brk_g = s["nb"], s["brk_g"]
+    nb = s["nb"]
     slot = jnp.arange(NB, dtype=I32)[None, :]
     valid = slot < nb[:, None]
 
+    brk_end = s["brk_meta"][:, 0, :]
+    brk_x = s["brk_meta"][:, 1, :]
     # breaks recorded at pivot x=0 start their walk at i_b=-1 and die
     # before the first probe (~30% of a typical batch's breaks: every
     # break of every read's first pivot). Their result is known without
     # entering the pool: r=-1, state = the recorded break interval.
-    doa = valid & (s["brk_x"] == 0)
+    doa = valid & (brk_x == 0)
 
     # pack the remaining breaks into the backward-walk pool
     src, dst, lane_ok, dropped = _compact((valid & ~doa).reshape(-1),
@@ -581,7 +588,7 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
     # the drain tail (lanes finishing after the queue empties) runs on
     # the shortest walks. The argsort costs ~1 ms, far under the drain
     # iterations it saves.
-    i_b0_all = (s["brk_x"] - 1).reshape(-1)
+    i_b0_all = (brk_x - 1).reshape(-1)
     if SORT_BWD_POOL:
         order_key = jnp.where(lane_ok, -i_b0_all[src], BIG32)
         perm = jnp.argsort(order_key)
@@ -610,8 +617,9 @@ def _smem_pass_post(dfm: DeviceFM, L: int, NB: int, q_flat, read_id,
 
     # cohort emission: first break of each distinct-death-step cohort,
     # processed longest-forward-first within its pivot/task group
+    brk_g = s["brk_meta"][:, 2, :]
     m_prev = _cohort_emit(r, brk_g, valid, NB)
-    end = s["brk_end"]
+    end = brk_end
     emit = valid & (r < m_prev) & ((end - (r + 1)) >= min_seed_len)
     info = _pack_info(r + 1, end, bst.dtype)
     # bwa appends in death order: group ascending, slot descending
@@ -727,9 +735,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
             ik_info=jnp.zeros(NL, I32), g=jnp.zeros(NL, I32),
             nb=jnp.zeros(NL, I32),
             brk_kls=jnp.zeros((NL, 3, NBc), dt),
-            brk_end=jnp.zeros((NL, NBc), I32),
-            brk_x=jnp.zeros((NL, NBc), I32),
-            brk_g=jnp.zeros((NL, NBc), I32),
+            brk_meta=jnp.zeros((NL, 3, NBc), I32),
             ovf=jnp.zeros(NL, bool), it=jnp.zeros((), I32))
 
     # pass 1's forward scan runs FUSED with pass 3 (both are serial

@@ -75,17 +75,21 @@ def main():
         def once(qd, qld):
             out = sj.collect_intv_device(dd, L, 64, 128, L * 16, qd, qld,
                                          *pp, pack_H=pack)
-            return out[5] if pack else out[:3]
+            # SYNC BY FETCH: block_until_ready through the tunnel can
+            # return without completion after the first executable; a
+            # small host fetch genuinely round-trips
+            probe = out[5][:4] if pack else out[1][:4]
+            return int(np.asarray(probe)[0])
         bs = batches[B]
-        jax.block_until_ready(once(*bs[0]))
+        once(*bs[0])
         ts = []
         for qd, qld in bs[1:]:
             t0 = time.time()
-            jax.block_until_ready(once(qd, qld))
+            once(qd, qld)
             ts.append(time.time() - t0)
         ts = sorted(ts)
         print(f"{tag:>24} B={B}: min {ts[0]*1e3:7.1f} ms  "
-              f"med {ts[len(ts)//2]*1e3:7.1f} ms")
+              f"med {ts[len(ts)//2]*1e3:7.1f} ms", flush=True)
 
     run("full", 4096, ndfm, params, 32)
     run("no-pack", 4096, ndfm, params, 0)

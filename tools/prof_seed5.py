@@ -82,9 +82,7 @@ def main():
             ik_info=jnp.zeros(NL, I32), g=jnp.zeros(NL, I32),
             nb=jnp.zeros(NL, I32),
             brk_kls=jnp.zeros((NL, 3, NBc), dt_),
-            brk_end=jnp.zeros((NL, NBc), I32),
-            brk_x=jnp.zeros((NL, NBc), I32),
-            brk_g=jnp.zeros((NL, NBc), I32),
+            brk_meta=jnp.zeros((NL, 3, NBc), I32),
             ovf=jnp.zeros(NL, bool), it=jnp.zeros((), I32))
 
     REPS = 4
