@@ -395,7 +395,7 @@ def bench_sorted_bam():
     n = sum(1 for _ in open(fq)) // 4
     with tempfile.TemporaryDirectory() as td:
         bam = os.path.join(td, "out.bam")
-        argv = ["mem", "--sort", "-o", bam, str(d / "ref.fa"), str(fq)]
+        argv = ["--sort", "-o", bam, str(d / "ref.fa"), str(fq)]
         rc = cli.main_mem(argv)          # warm (programs cached)
         if rc:
             return None

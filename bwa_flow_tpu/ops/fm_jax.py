@@ -319,46 +319,106 @@ def _inv_psi_batch(dfm: DeviceFM, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(k == dfm.primary, 0, lf)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def sa_batch_packed(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
-                    ) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def sa_batch_packed(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256,
+                    intv: int = 0) -> jnp.ndarray:
     """sa_batch with both outputs stacked into one int64[2, B] array —
     a single device->host transfer (the tunnel charges per transfer)."""
-    sa, ovf = sa_batch(dfm, k, max_iters)
+    sa, ovf = sa_batch(dfm, k, max_iters, intv)
     return jnp.stack([sa, ovf.astype(jnp.int64)])
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256
-             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _lf_walk_fixed(dfm: DeviceFM, mask, kk, steps, T: int):
+    """T fixed LF steps over every lane (dead lanes hold)."""
+
+    def body(i, st):
+        kk, steps = st
+        live = (kk & mask) != 0
+        kk2 = _inv_psi_batch(dfm, kk)
+        kk = jnp.where(live, kk2, kk)
+        return kk, steps + live.astype(steps.dtype)
+
+    return jax.lax.fori_loop(0, T, body, (kk, steps))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def sa_batch(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256,
+             intv: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Suffix-array values via batched LF-walk (bwa/bwt.c:86-96).
 
-    k: int64[B]. Walks every lane until it hits a sampled row (k % sa_intv
-    == 0) or `max_iters` steps. Returns (sa int64[B], overflow bool[B]);
-    overflow lanes must be recomputed on host (expected walk ~ sa_intv/2
-    steps; bwa default sa_intv=32 makes 256 a >8x budget)."""
+    k: int64[B] (or int32 under a narrow view). Walk lengths are
+    geometric with mean sa_intv, so a single while-loop-to-max runs
+    ~sa_intv*ln(B) iterations over EVERY lane (the 3.1 Gbp `sa` span
+    measured 10.4 s/batch on this structure). With `intv` passed
+    statically (the resampled on-disk interval), the walk is PHASED:
+    2*intv fixed steps over all lanes (covers ~e^-2 = 86%), survivors
+    compact into a B/4 pool for 4*intv more (cumulative ~e^-6), then a
+    B/16 pool runs a while loop to max_iters. Probe volume tracks the
+    geometric tail instead of its max. Returns (sa int64[B], overflow
+    bool[B]); overflow lanes (budget blown or pool overflow — both
+    astronomically rare at the default budgets) redo on host."""
     if dfm.sa_dense is not None:
         idx = jnp.clip(k, 0, dfm.sa_dense.shape[0] - 1).astype(jnp.int32)
         return (dfm.sa_dense[idx].astype(jnp.int64),
                 jnp.zeros(k.shape, bool))
     mask = (dfm.sa_intv - 1).astype(k.dtype)
-
-    def cond(state):
-        kk, steps, it = state
-        return (it < max_iters) & jnp.any(kk & mask != 0)
-
-    def body(state):
-        kk, steps, it = state
-        live = (kk & mask) != 0
-        kk2 = _inv_psi_batch(dfm, kk)
-        kk = jnp.where(live, kk2, kk)
-        steps = steps + live.astype(steps.dtype)
-        return kk, steps, it + 1
-
     steps0 = jnp.zeros_like(k)
-    kf, steps, _ = jax.lax.while_loop(cond, body, (k, steps0, 0))
-    overflow = (kf & mask) != 0
-    idx = kf // dfm.sa_intv.astype(k.dtype)
+    B = k.shape[0]
+    kk, steps = k, steps0
+    if intv > 0 and B >= 64:
+        kk, steps = _lf_walk_fixed(dfm, mask, kk, steps, 2 * intv)
+
+        def compact_pool(kk, steps, CAP):
+            live = (kk & mask) != 0
+            l32 = live.astype(jnp.int32)
+            rank = jnp.cumsum(l32) - l32
+            dropped = live & (rank >= CAP)
+            src = jnp.zeros(CAP, jnp.int32).at[
+                jnp.where(live & ~dropped, rank, CAP)].set(
+                jnp.arange(B, dtype=jnp.int32), mode="drop")
+            return src
+
+        # survivors (~e^-2) -> B/4 pool, 4*intv fixed steps
+        src = compact_pool(kk, steps, B // 4)
+        kp, sp = _lf_walk_fixed(dfm, mask, kk[src], steps[src], 4 * intv)
+        kk = kk.at[src].set(kp, mode="drop")
+        steps = steps.at[src].set(sp, mode="drop")
+        # stragglers (~e^-6) -> B/16 pool, while loop to the budget
+        src = compact_pool(kk, steps, B // 16)
+
+        def cond(st):
+            kp, sp, it = st
+            return (it < max_iters) & jnp.any(kp & mask != 0)
+
+        def body(st):
+            kp, sp, it = st
+            live = (kp & mask) != 0
+            k2 = _inv_psi_batch(dfm, kp)
+            return (jnp.where(live, k2, kp),
+                    sp + live.astype(sp.dtype), it + 1)
+
+        kp, sp, _ = jax.lax.while_loop(
+            cond, body, (kk[src], steps[src], 0))
+        kk = kk.at[src].set(kp, mode="drop")
+        steps = steps.at[src].set(sp, mode="drop")
+        # pool-dropped lanes never finish: flagged as overflow below
+        overflow = (kk & mask) != 0
+    else:
+        def cond(state):
+            kk, steps, it = state
+            return (it < max_iters) & jnp.any(kk & mask != 0)
+
+        def body(state):
+            kk, steps, it = state
+            live = (kk & mask) != 0
+            kk2 = _inv_psi_batch(dfm, kk)
+            kk = jnp.where(live, kk2, kk)
+            steps = steps + live.astype(steps.dtype)
+            return kk, steps, it + 1
+
+        kk, steps, _ = jax.lax.while_loop(cond, body, (kk, steps0, 0))
+        overflow = (kk & mask) != 0
+    idx = kk // dfm.sa_intv.astype(k.dtype)
     idx = jnp.clip(idx, 0, dfm.sa.shape[0] - 1)
     return (steps + dfm.sa[idx]).astype(jnp.int64), overflow
 
@@ -379,7 +439,8 @@ def _densify_sa(dfm: DeviceFM, fm: FMIndex) -> np.ndarray:
         m = min(CH, n - off)
         pad = np.zeros(CH, dtype=np.int64)
         pad[:m] = np.arange(off, off + m, dtype=np.int64)
-        packed = np.asarray(sa_batch_packed(dfm, jnp.asarray(pad), 1024))
+        packed = np.asarray(sa_batch_packed(dfm, jnp.asarray(pad), 1024,
+                                             int(fm.sa_intv)))
         vals = packed[0, :m].astype(np.int32)
         for j in np.nonzero(packed[1, :m] != 0)[0]:
             vals[j] = fmops.bwt_sa(fm, off + int(j))

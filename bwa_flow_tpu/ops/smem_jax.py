@@ -43,7 +43,7 @@ import numpy as np
 from ..index.fmindex import FMIndex
 from ..utils.opts import MemOpt
 from . import smem as smem_golden
-from .fm_jax import DeviceFM, occ4_batch, set_intv_batch
+from .fm_jax import DeviceFM, occ4_batch, sa_batch, set_intv_batch
 
 I32 = jnp.int32
 I64 = jnp.int64
@@ -168,27 +168,20 @@ def _scatter1(arr, idx, val, do):
         val, mode="drop").reshape(NL, N)
 
 
-def _p3_preA(L: int, nxt_cand, s):
-    """Pass-3 mode-0, phase A: acquire the next pivot from the
-    PREFETCHED next-valid-pivot value (bwt_seed_strategy1 scan). Split
-    from phase B so the caller can batch the nxt and q lookups of both
-    fused machines into one gather each (every gather is a fusion
-    boundary — the while body's cost is ~#kernels, not FLOPs)."""
+def _p3_pre2(dfm: DeviceFM, L: int, val, s):
+    """Pass-3 pivot acquisition from ONE prefetched sym-table value
+    (bwt_seed_strategy1 scan; see _fwd_pre2)."""
     mode = s["mode"]
     m0 = mode == 0
-    cand = jnp.where(s["x"] < L, nxt_cand, BIG32)
-    found = cand < BIG32
+    cand = jnp.where(s["x"] < L, val >> 6, jnp.asarray(L, I32))
+    found = cand < L
     start = m0 & found
     x = jnp.where(start, cand, s["x"])
     mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
+    init_ik = set_intv_batch(dfm, jnp.clip((val >> 3) & 7, 0, 3))
     return dict(s, mode=mode, x=x,
-                i=jnp.where(start, x + 1, s["i"])), start
-
-
-def _p3_preB(dfm: DeviceFM, s, start, qx):
-    """Pass-3 phase B: initial interval from the prefetched pivot base."""
-    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
-    return dict(s, ik=jnp.where(start[:, None], init_ik, s["ik"]))
+                ik=jnp.where(start[:, None], init_ik, s["ik"]),
+                i=jnp.where(start, x + 1, s["i"])), val & 7
 
 
 def _p3_post(c: _MachineConsts, qlen, min_seed_len, max_mem_intv,
@@ -234,26 +227,24 @@ def _p3_post(c: _MachineConsts, qlen, min_seed_len, max_mem_intv,
 # all-lane-barrier iterations and no [B,4,MAXM] rewrite inside any loop.
 
 
-def _fwd_preA(L: int, nxt_cand, s):
-    """Pass-1 mode-0, phase A: acquire the next pivot (bwa jump rule)
-    from the PREFETCHED next-valid-pivot value (see _p3_preA)."""
+def _fwd_pre2(dfm: DeviceFM, L: int, val, s):
+    """Pass-1 mode-0 pivot acquisition from ONE prefetched sym-table
+    value (see _sym_tab). Returns (state, q_i): for a starting lane the
+    walk symbol q[x+1] rides in the low bits; for a walking lane val IS
+    the symbol at i."""
     mode, x = s["mode"], s["x"]
     m0 = mode == 0
-    cand = jnp.where(x < L, nxt_cand, BIG32)
-    found = cand < BIG32
+    cand = jnp.where(x < L, val >> 6, jnp.asarray(L, I32))
+    found = cand < L
     start = m0 & found
     x = jnp.where(start, cand, x)
     mode = jnp.where(m0, jnp.where(found, 1, 3), mode)
+    init_ik = set_intv_batch(dfm, jnp.clip((val >> 3) & 7, 0, 3))
     return dict(s, mode=mode, x=x,
+                ik=jnp.where(start[:, None], init_ik, s["ik"]),
                 ik_info=jnp.where(start, x + 1, s["ik_info"]),
                 i=jnp.where(start, x + 1, s["i"]),
-                g=jnp.where(start, s["g"] + 1, s["g"])), start
-
-
-def _fwd_preB(dfm: DeviceFM, s, start, qx):
-    """Pass-1 phase B: initial interval from the prefetched pivot base."""
-    init_ik = set_intv_batch(dfm, jnp.clip(qx, 0, 3))
-    return dict(s, ik=jnp.where(start[:, None], init_ik, s["ik"]))
+                g=jnp.where(start, s["g"] + 1, s["g"])), val & 7
 
 
 def _fwd_post(L: int, NB: int, qlen_l, mi,
@@ -297,13 +288,31 @@ def _fwd_post(L: int, NB: int, qlen_l, mi,
                 ovf=ovf, it=s["it"] + 1)
 
 
-def _next_pivot_tab(q2, qlen2, L: int):
-    """nxt[b, j] = smallest j' >= j with a valid pivot base (j' < qlen
-    and q < 4), else BIG32 — a reverse cummin, computed once per scan."""
+def _sym_tab(q2, qlen2, L: int):
+    """Packed per-position lookup table, ONE [2*B*L] i32 array:
+
+      [0,   B*L): q[b, j]                      (plain symbol 0..4)
+      [B*L, 2*B*L): nv[b, j] = (p << 6) | (q[b, p] << 3) | q[b, p+1]
+                    where p = smallest valid pivot position >= j
+                    (j' < qlen and q < 4), or p = L when none.
+
+    A scan lane needs EITHER the next pivot (mode 0: position + its
+    base + the following base, all needed the same iteration) OR the
+    read symbol at i (mode 1) — never both — so one per-lane gather
+    from this table replaces the three separate nxt/qx/q_i gathers.
+    The while body is VMEM-gather-rate-bound (~10 cycles/row), so row
+    count is the cost. nv builds with a reverse cummin: the pivot
+    position sits in the high bits, so min-by-packed = min-by-position
+    and the winning entry carries its own symbols."""
+    B2 = q2.shape[0]
     jl = jnp.arange(L, dtype=I32)[None, :]
     valid_base = (jl < qlen2[:, None]) & (q2 < 4)
-    vals = jnp.where(valid_base, jl, BIG32)
-    return jax.lax.cummin(vals, axis=1, reverse=True).reshape(-1)
+    q_next = jnp.concatenate(
+        [q2[:, 1:], jnp.full((B2, 1), 4, q2.dtype)], axis=1)
+    packed = jnp.where(valid_base, (jl << 6) | (q2 << 3) | q_next,
+                       jnp.asarray(L << 6, I32))
+    nv = jax.lax.cummin(packed, axis=1, reverse=True)
+    return jnp.concatenate([q2.reshape(-1), nv.reshape(-1)])
 
 
 def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
@@ -319,21 +328,19 @@ def _fwd_scan_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int,
     in mode 1/3)."""
     NL = st0["mode"].shape[0]
     if not task_mode:
-        nxt_flat = _next_pivot_tab(q2, qlen2, L)
+        sym = _sym_tab(q2, qlen2, L)
+        BL = jnp.asarray(q2.shape[0] * L, I32)
 
     def cond(s):
         return (s["it"] < ITERS) & jnp.any(s["mode"] != 3)
 
     def step(s):
         if not task_mode:
-            nc = _q_at(nxt_flat,
-                       read_id * L + jnp.clip(s["x"], 0, L - 1))
-            s, start = _fwd_preA(L, nc, s)
-            qv = _q_at(q_flat, jnp.concatenate([
-                read_id * L + jnp.clip(s["x"], 0, L - 1),
-                read_id * L + jnp.clip(s["i"], 0, L - 1)]))
-            s = _fwd_preB(dfm, s, start, qv[:NL])
-            q_i = qv[NL:]
+            m0 = s["mode"] == 0
+            idx = (read_id * L
+                   + jnp.where(m0, jnp.clip(s["x"], 0, L - 1) + BL,
+                               jnp.clip(s["i"], 0, L - 1)))
+            s, q_i = _fwd_pre2(dfm, L, _q_at(sym, idx), s)
         else:
             q_i = _q_at(q_flat,
                         read_id * L + jnp.clip(s["i"], 0, L - 1))
@@ -356,7 +363,8 @@ def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
     runs pass 3 for free inside pass 1's barrier count instead of
     paying a second ~qlen-iteration loop."""
     B = st1["mode"].shape[0]
-    nxt_flat = _next_pivot_tab(q2, qlen2, L)
+    sym = _sym_tab(q2, qlen2, L)
+    BL = jnp.asarray(B * L, I32)
     mi1 = jnp.ones(B, st1["ik"].dtype)  # pass-1 min_intv
     rid3 = jnp.arange(B, dtype=I32)
 
@@ -365,29 +373,28 @@ def _p1p3_machine(dfm: DeviceFM, L: int, NB: int, ITERS: int, q_flat,
                                     | jnp.any(s["p3"]["mode"] != 3))
 
     def step(s):
-        # both machines' symbol-table lookups ride TWO batched gathers
-        # per iteration (nxt at old x; then q at new x and i): each
-        # gather is a fusion boundary, and the while body's cost is
-        # dominated by kernel count, not FLOPs
+        # ONE symbol gather per iteration serves both machines: a lane
+        # needs either the packed next-pivot entry (mode 0) or the read
+        # symbol at i (mode 1), never both (_sym_tab). The body is
+        # VMEM-gather-rate-bound, so per-lane gather rows are the cost.
         s1, s3 = s["p1"], s["p3"]
-        nc = _q_at(nxt_flat, jnp.concatenate([
-            read_id * L + jnp.clip(s1["x"], 0, L - 1),
-            rid3 * L + jnp.clip(s3["x"], 0, L - 1)]))
-        s1, start1 = _fwd_preA(L, nc[:B], s1)
-        s3, start3 = _p3_preA(c3.L, nc[B:], s3)
-        qv = _q_at(q_flat, jnp.concatenate([
-            read_id * L + jnp.clip(s1["x"], 0, L - 1),
-            read_id * L + jnp.clip(s1["i"], 0, L - 1),
-            rid3 * L + jnp.clip(s3["x"], 0, L - 1),
-            rid3 * L + jnp.clip(s3["i"], 0, L - 1)]))
-        s1 = _fwd_preB(dfm, s1, start1, qv[:B])
-        s3 = _p3_preB(dfm, s3, start3, qv[2 * B:3 * B])
+        m0_1 = s1["mode"] == 0
+        m0_3 = s3["mode"] == 0
+        idx = jnp.concatenate([
+            read_id * L + jnp.where(m0_1,
+                                    jnp.clip(s1["x"], 0, L - 1) + BL,
+                                    jnp.clip(s1["i"], 0, L - 1)),
+            rid3 * L + jnp.where(m0_3,
+                                 jnp.clip(s3["x"], 0, L - 1) + BL,
+                                 jnp.clip(s3["i"], 0, L - 1))])
+        vals = _q_at(sym, idx)
+        s1, q_i1 = _fwd_pre2(dfm, L, vals[:B], s1)
+        s3, q_i3 = _p3_pre2(dfm, c3.L, vals[B:], s3)
         ik_all = jnp.concatenate([s1["ik"], s3["ik"]], axis=0)
         ok = bwt_extend_dir_batch(dfm, ik_all, jnp.zeros(2 * B, bool))
-        s1 = _fwd_post(L, NB, qlen_l, mi1, False, s1, ok[:B],
-                       qv[B:2 * B])
+        s1 = _fwd_post(L, NB, qlen_l, mi1, False, s1, ok[:B], q_i1)
         s3 = _p3_post(c3, qlen2, min_seed_len, max_mem_intv,
-                      s3, ok[B:], qv[3 * B:])
+                      s3, ok[B:], q_i3)
         return dict(p1=s1, p3=s3, it=s["it"] + 1)
 
     out = jax.lax.while_loop(
@@ -657,15 +664,18 @@ OVF_P2_POOL = 16   # pass-2 backward pool (PBUD2) exhausted
 OVF_P2_EMIT = 32   # pass-2 per-read emission cap (M2)
 OVF_P3 = 64        # pass-3 mem-slot cap (NP3)
 OVF_MEMS = 128     # total mems > MAXM
+OVF_SA = 256       # fused SA walk overflow (budget/pool; ~1e-4 reads)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 12, 13, 14))
+@functools.partial(jax.jit,
+                   static_argnums=(1, 2, 3, 4, 12, 13, 14, 15))
 def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
                         ITERS: int, q: jnp.ndarray, qlen: jnp.ndarray,
                         min_seed_len: jnp.ndarray, split_len: jnp.ndarray,
                         split_width: jnp.ndarray, max_mem_intv: jnp.ndarray,
                         max_occ: jnp.ndarray, pack_H: int = 0,
-                        big: bool = False, p2x: int = 1
+                        big: bool = False, p2x: int = 1,
+                        sa_intv_s: int = 0
                         ) -> tuple[jnp.ndarray, ...]:
     """All seeding intervals for a batch of reads (mem_collect_intv,
     bwa/bwamem.c:120-168), sorted by info.
@@ -838,7 +848,7 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # what lets batch N+1's seed program dispatch at iteration top and
     # keep the device 100% busy (a per-read [B, 64] budget left the ~6%
     # heaviest repeat reads on a dependent probe round trip).
-    if dfm.sa_dense is not None:
+    if dfm.sa_dense is not None or sa_intv_s > 0:
         # the big-budget redo variant serves the heaviest ~0.5% of reads:
         # give it a deep pool so redone reads never fall to the probe
         # path (a dependent device round trip that would queue behind
@@ -874,9 +884,28 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
         ok = p < jnp.minimum(gcum[-1], CAPO).astype(I32)
         rows = (x0_col.reshape(-1)[seg]
                 + (p - gcum0[seg]).astype(dt) * step.reshape(-1)[seg])
-        idx = jnp.clip(jnp.where(ok, rows, 0), 0,
-                       dfm.sa_dense.shape[0] - 1).astype(I32)
-        occ_sa = jnp.where(ok, dfm.sa_dense[idx].astype(dt), dt.type(0))
+        if dfm.sa_dense is not None:
+            idx = jnp.clip(jnp.where(ok, rows, 0), 0,
+                           dfm.sa_dense.shape[0] - 1).astype(I32)
+            occ_sa = jnp.where(ok, dfm.sa_dense[idx].astype(dt),
+                               dt.type(0))
+        else:
+            # big-genome path (round-4 verdict task 2): the PHASED LF
+            # walk against the resampled on-device SA resolves the
+            # whole enumeration inside the seed program — the separate
+            # dependent probe program measured 10.4 s/batch at 3.1 Gbp.
+            # A read whose walk blew the budget/pool (~1e-4) routes to
+            # the redo path via OVF_SA. occ_total must NOT change here:
+            # the host derives segment offsets from the totals, so they
+            # have to match the pool layout for every read, flagged or
+            # not (a -1 sentinel desynchronized every later read).
+            rows_w = jnp.where(ok, rows, 0)
+            vals, ovf_w = sa_batch(dfm, rows_w, 256, sa_intv_s)
+            bad = jnp.zeros(B, I32).at[
+                jnp.where(ok & ovf_w, seg // MAXM, B)].max(
+                1, mode="drop")
+            ovf = ovf | bad * OVF_SA
+            occ_sa = jnp.where(ok, vals.astype(dt), dt.type(0))
     else:
         occ_sa = jnp.zeros(1, jnp.int64)
         occ_total = jnp.full((B,), -1, I32)   # sentinel: not resolved
@@ -1066,10 +1095,14 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
     # Gbp-class genomes are ~unique at seed length: nearly every SMEM
     # re-seeds in pass 2, so those loads get 4x-deep pass-2 pools
     p2x = 4 if fm.seq_len >= (1 << 28) else 1
+    # no dense SA (Gbp-scale): fuse the phased LF walk against the
+    # (resampled) sampled SA into the seed program
+    sa_s = int(fm.sa_intv) if (dfm.sa_dense is None
+                               and fm.sa_intv <= 64) else 0
     out = collect_intv_device(
         _narrow_dfm(dfm) if narrow else dfm, L, MAXB, MAXM,
         L * iters_factor, q_dev, qlen_dev, *params,
-        pack_H=H if narrow else 0, p2x=p2x)
+        pack_H=H if narrow else 0, p2x=p2x, sa_intv_s=sa_s)
     h = dict(reads=reads, opt=opt, fm=fm, dfm=dfm, L=L, MAXB=MAXB,
              MAXM=MAXM, iters=L * iters_factor, q_dev=q_dev, mems=out[0])
     if narrow:
@@ -1272,9 +1305,12 @@ def _device_redo(handle: dict, idx: list, repl: dict, counts, sa_vals
         # pad_reads already pow2-buckets (>= 64): no extra padding, and
         # pool chunking relies on B being a power of two
         q, qlen = pad_reads([reads[b] for b in sub], L)
+        sa_s = int(fm.sa_intv) if (dfm.sa_dense is None
+                                   and fm.sa_intv <= 64) else 0
         out = collect_intv_device(d, L, MAXB, MAXM, handle["iters"],
                                   jnp.asarray(q), jnp.asarray(qlen),
-                                  *params, pack_H=0, big=True)
+                                  *params, pack_H=0, big=True,
+                                  sa_intv_s=sa_s)
         for o in out:
             _start_fetch(o)
         chunks.append((sub, out))

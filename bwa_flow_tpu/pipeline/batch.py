@@ -254,7 +254,8 @@ class BatchAligner:
             if self.devices is not None:
                 import jax
                 pad = jax.device_put(pad, self.devices[ci % len(dfm_sas)])
-            out = sa_batch_packed(dfm_sas[ci % len(dfm_sas)], pad)
+            out = sa_batch_packed(dfm_sas[ci % len(dfm_sas)], pad,
+                                  256, int(self.fm.sa_intv))
             ci += 1
             try:
                 out.copy_to_host_async()

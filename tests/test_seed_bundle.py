@@ -203,3 +203,42 @@ def test_global_fused_sa_heavy_occ_reads(rng):
     ba2.align_se(reads, n_processed=0)
     for got_r, want_r in zip(reads, want):
         assert got_r.sam == want_r.sam, got_r.name
+
+
+def test_fused_sa_walk_sparse_intv(small_index, rng, monkeypatch):
+    """Gbp-class configuration: NO dense SA and a SPARSE sampled SA
+    (intv 32, the stock bwa interval), so the seed program resolves SA
+    through the fused phased LF walk (round-5). Values must match
+    host bwt_sa exactly, and segment offsets must stay layout-
+    consistent even when a read is OVF_SA-flagged (the round-5 offset
+    desync shipped wrong SA values for every read after a flagged
+    one before the CLI drive caught it)."""
+    import numpy as np
+
+    from bwa_flow_tpu.index.build import build_index
+    from bwa_flow_tpu.ops import fm as fmops
+    from bwa_flow_tpu.ops import fm_jax, smem_jax
+    from bwa_flow_tpu.ops.chain_native import sa_probe_layout
+    from bwa_flow_tpu.utils.opts import MemOpt
+
+    fm, contigs = small_index
+    fm32 = build_index(list(contigs), sa_intv=32)
+    dfm = fm_jax.DeviceFM.from_host(fm32, dense_sa_max=0)
+    assert dfm.sa_dense is None and fm32.sa_intv == 32
+    opt = MemOpt()
+    seqs = _reads(rng, contigs, 24)
+    h = smem_jax.seed_dispatch(opt, fm32, dfm, seqs, L=128)
+    batch = smem_jax.seed_collect_batch(h)
+    sav = h["sa_vals"]
+    assert sum(1 for v in sav if v is not None) >= 20
+    rows, offs, _ = sa_probe_layout(opt, batch, build_owners=False)
+    checked = 0
+    for b in range(len(seqs)):
+        if sav[b] is None:
+            continue
+        lo, hi = int(offs[b]), int(offs[b + 1])
+        assert hi - lo == len(sav[b])
+        for j in range(lo, hi):
+            assert int(sav[b][j - lo]) == fmops.bwt_sa(fm32, int(rows[j]))
+            checked += 1
+    assert checked > 50
