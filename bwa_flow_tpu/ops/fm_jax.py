@@ -329,16 +329,47 @@ def sa_batch_packed(dfm: DeviceFM, k: jnp.ndarray, max_iters: int = 256,
 
 
 def _lf_walk_fixed(dfm: DeviceFM, mask, kk, steps, T: int):
-    """T fixed LF steps over every lane (dead lanes hold)."""
+    """T fixed LF steps over every lane (dead lanes hold). Lanes are
+    processed in 64k-lane CHUNKS via lax.scan with an all-dead skip:
+    callers hand over pools whose LIVE lanes are front-packed (the
+    fused enumeration is), so capacity beyond the live prefix costs one
+    predicate per chunk instead of T probe rows per lane."""
+    B = kk.shape[0]
+    CS = 65536
+    if B <= CS or B % CS != 0:
+        def body(i, st):
+            kk, steps = st
+            live = (kk & mask) != 0
+            kk2 = _inv_psi_batch(dfm, kk)
+            kk = jnp.where(live, kk2, kk)
+            return kk, steps + live.astype(steps.dtype)
 
-    def body(i, st):
-        kk, steps = st
-        live = (kk & mask) != 0
-        kk2 = _inv_psi_batch(dfm, kk)
-        kk = jnp.where(live, kk2, kk)
-        return kk, steps + live.astype(steps.dtype)
+        return jax.lax.fori_loop(0, T, body, (kk, steps))
 
-    return jax.lax.fori_loop(0, T, body, (kk, steps))
+    def chunk(carry, x):
+        kc, sc = x
+
+        def walk(args):
+            kc, sc = args
+
+            def body(i, st):
+                kk, steps = st
+                live = (kk & mask) != 0
+                kk2 = _inv_psi_batch(dfm, kk)
+                return (jnp.where(live, kk2, kk),
+                        steps + live.astype(steps.dtype))
+
+            return jax.lax.fori_loop(0, T, body, (kc, sc))
+
+        kc, sc = jax.lax.cond(jnp.any((kc & mask) != 0), walk,
+                              lambda a: a, (kc, sc))
+        return carry, (kc, sc)
+
+    NCH = B // CS
+    _, (kk, steps) = jax.lax.scan(
+        chunk, jnp.zeros((), jnp.int32),
+        (kk.reshape(NCH, CS), steps.reshape(NCH, CS)))
+    return kk.reshape(B), steps.reshape(B)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

@@ -707,12 +707,14 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # pass-1 break budget (all pivots); repeat-realistic reads record
     # ~42 breaks mean, p99 ~104, max >128; Gbp-unique reads spill 128
     # on ~1% of a batch (49/4096 measured) -> 160 under p2x
-    NB2 = 192 if big else (96 if p2x > 1 else 64)  # per-task break budget
+    NB2 = 192 if big else (128 if p2x > 1 else 64)  # per-task break budget
     # (repeat re-seeds walk through high-occ copies and break often: 32
     # overflowed 5% of a repeat-realistic batch; 64 overflowed 72/4096
     # of the Gbp fixture)
     NP3 = 64 if big else 24    # pass-3 mem slots
-    M2 = min(128 if big else 64, MAXM)   # per-read pass-2 emission cap
+    M2 = min(128 if big else (96 if p2x > 1 else 64), MAXM)
+    # per-read pass-2 emission cap (Gbp genomes re-seed nearly every
+    # SMEM: 64 overflowed 23/4096 of a 3.1 Gbp batch)
     PBUD1 = (128 if big else 48) * B   # pass-1 backward-pool lanes
     # pass-2 pools: low-error repeat-fixture batches measure ~1.8 re-seed
     # tasks/read (7,472/4096, long unique SMEMs) x ~13 breaks/task ≈
@@ -853,7 +855,8 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
         # give it a deep pool so redone reads never fall to the probe
         # path (a dependent device round trip that would queue behind
         # the next batch's seed program)
-        CAPO = (CAPO_PER * 16 if big else CAPO_PER) * B
+        per = CAPO_PER if dfm.sa_dense is not None else CAPO_PER_BIG
+        CAPO = (per * 16 if big else per) * B
         valid = slot_i < n_mem[:, None]
         s_col = jnp.where(valid, mems[:, 2, :], 0)           # [B, MAXM]
         x0_col = mems[:, 0, :]
@@ -933,6 +936,12 @@ def _pack_meta(n_mem, ovf, occ_total):
 # cliff, not a correctness one)
 CAPM_PER = 14
 CAPO_PER = 40
+# big-genome (no dense SA) fused-walk pool: human-scale repeat genomes
+# measure ~100+ occurrences/read (40/read covered only 65% of a 3.1 Gbp
+# batch; the uncovered tail paid a dependent probe program). Capacity is
+# cheap there: the phased walk skips all-dead 64k chunks, and the wide
+# path ships no padded pool (meta fetches only the used prefix).
+CAPO_PER_BIG = 144
 
 
 def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
@@ -956,7 +965,9 @@ def _pack_ragged(mems, n_mem, ovf, occ_sa, occ_total, B: int):
     guards seq_len < 2^31, reads < 32768 bp)."""
     MAXM = mems.shape[2]
     CAPM = CAPM_PER * B
-    CAPO = CAPO_PER * B
+    # the SA pool rides at the MACHINE's size (deeper on the no-dense
+    # fused-walk path); the host derives the same size from the handle
+    CAPO = occ_sa.shape[0] if occ_sa.shape[0] > 1 else CAPO_PER * B
     slot_i = jnp.arange(MAXM, dtype=I32)[None, :]
     valid = slot_i < n_mem[:, None]
     base = jnp.cumsum(n_mem) - n_mem
@@ -1014,6 +1025,11 @@ SEED_HEAD = 32  # slots fetched eagerly; reads rarely use more
 @functools.partial(jax.jit, static_argnums=(1,))
 def _mems_slice(mems, width: int):
     return mems[:, :, :width]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _mems_slice1(arr, width: int):
+    return arr[:width]
 
 
 def _start_fetch(arr):
@@ -1111,7 +1127,11 @@ def seed_dispatch(opt: MemOpt, fm: FMIndex, dfm: DeviceFM,
     else:
         mems, n_mem, ovf, occ_sa, occ_total = out
         h["meta"] = _start_fetch(_pack_meta(n_mem, ovf, occ_total))
-        h["occ_sa"] = _start_fetch(occ_sa)
+        if occ_sa.shape[0] > 1:
+            # fused pool present (wide machine): keep it on device; the
+            # collect slices the USED prefix once the meta arrives (the
+            # deep big-genome pool would cost MBs to ship padded)
+            h["occ_sa_dev"] = occ_sa
         h["head"] = _start_fetch(_mems_slice(mems, H))
     return h
 
@@ -1132,7 +1152,9 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
     if packed is not None:
         pk = fetch(packed)
         Bp = handle["q_dev"].shape[0]
-        CAPM, CAPO = CAPM_PER * Bp, CAPO_PER * Bp
+        CAPM = CAPM_PER * Bp
+        CAPO = (CAPO_PER if handle["dfm"].sa_dense is not None
+                else CAPO_PER_BIG) * Bp
         total_m, total_o = int(pk[0]), int(pk[1])
         o = 4
         n_mem = pk[o:o + Bp]
@@ -1211,10 +1233,17 @@ def seed_collect_batch(handle: dict, fetch=np.asarray
             if occ_flat is not None:
                 if baseo[b] + t <= CAPO_n:   # segment fully in the pool
                     sa_vals[b] = occ_flat[baseo[b]:baseo[b] + t]
-            elif packed is None and handle.get("occ_sa") is not None:
+            elif packed is None and handle.get("occ_sa_dev") is not None:
                 if occ_np is None:
-                    occ_np = fetch(handle["occ_sa"])
-                if len(occ_np) > 1 and baseo[b] + t <= len(occ_np):
+                    dev = handle["occ_sa_dev"]
+                    total_o = int(ocnt.sum())
+                    width = 1024
+                    while width < min(total_o, dev.shape[0]):
+                        width <<= 1
+                    width = min(width, dev.shape[0])
+                    occ_np = fetch(_start_fetch(
+                        _mems_slice1(dev, width)))
+                if baseo[b] + t <= len(occ_np):
                     sa_vals[b] = occ_np[baseo[b]:baseo[b] + t]
     handle["sa_vals"] = sa_vals
     if not redo.any():
