@@ -242,3 +242,57 @@ def test_fused_sa_walk_sparse_intv(small_index, rng, monkeypatch):
             assert int(sav[b][j - lo]) == fmops.bwt_sa(fm32, int(rows[j]))
             checked += 1
     assert checked > 50
+
+
+def test_adaptive_pool_escalation(rng):
+    """Novel-genome guard (round-5): a read mix that overflows the
+    default pass-2 task pool (many distinct unique fragments per read
+    -> ~6 re-seed tasks/read vs the 2/read budget) must trigger a
+    one-way p2x escalation after the first batch, drop the redo count
+    on the next batch, and stay golden-exact throughout."""
+    import numpy as np
+
+    from bwa_flow_tpu.index.build import build_index
+    from bwa_flow_tpu.ops import fm_jax, smem_jax
+    from bwa_flow_tpu.ops import smem as smem_golden
+    from bwa_flow_tpu.utils.opts import MemOpt
+
+    g = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, 40000)].tobytes()
+    fm = build_index([("chr1", "", g)])
+    dfm = fm_jax.DeviceFM.from_host(fm)
+    opt = MemOpt()
+    code = np.full(256, 4, np.uint8)
+    for i, c in enumerate(b"ACGT"):
+        code[c] = i
+    gi = code[np.frombuffer(g, np.uint8)]
+
+    def frankenread():
+        # 5 unique 30-mers from scattered positions: five >=28bp occ-1
+        # SMEMs -> five pass-2 tasks (budget is 2/read)
+        parts = [gi[p:p + 30] for p in
+                 rng.integers(0, len(gi) - 30, 5)]
+        return np.concatenate(parts).astype(np.uint8)
+
+    batch = [frankenread() for _ in range(64)]
+    smem_jax._ADAPT.clear()
+    try:
+        h1 = smem_jax.seed_dispatch(opt, fm, dfm, batch, L=160)
+        assert h1["p2x"] == 1
+        got1 = smem_jax.seed_collect(h1)
+        assert smem_jax._ADAPT.get(id(fm), 1) > 1, \
+            "overflow cliff did not escalate the profile"
+        h2 = smem_jax.seed_dispatch(opt, fm, dfm, batch, L=160)
+        assert h2["p2x"] > 1
+        got2 = smem_jax.seed_collect(h2)
+    finally:
+        smem_jax._ADAPT.clear()
+    for b, r in enumerate(batch):
+        want = smem_golden.collect_intv(opt, fm, r)
+        for got in (got1, got2):
+            assert sorted(_mems_key_sb(got[b])) == \
+                sorted(_mems_key_sb(want)), f"read {b}"
+
+
+def _mems_key_sb(ivs):
+    return [(iv.start, iv.end, iv.x0, iv.x1, iv.s) for iv in ivs]

@@ -77,7 +77,7 @@ def main():
             if c:
                 print(f"#   {name:>9}: {c}", flush=True)
 
-    # timeline with the production redo cascade
+    # timeline with the production redo cascade + fused-SA coverage
     sj.DEVICE_REDO = True
     ts = []
     for reads in batches:
@@ -85,6 +85,10 @@ def main():
         h = sj.seed_dispatch(opt, fm, dfm, reads, L=L)
         sj.seed_collect_batch(h)
         ts.append(time.time() - t0)
+        sav = h.get("sa_vals")
+        cov = sum(1 for v in sav if v is not None)
+        print(f"#   {ts[-1]*1e3:.0f} ms  fused-SA coverage {cov}/{B}",
+              flush=True)
     print(f"# dispatch+collect with redo: "
           + " ".join(f"{t*1e3:.0f}" for t in ts), flush=True)
 
