@@ -727,8 +727,18 @@ def collect_intv_device(dfm: DeviceFM, L: int, MAXB: int, MAXM: int,
     # fixture; 1,273/4096 reads overflowed the x1 pools into a ~5 s/batch
     # Gbp redo cliff) — callers pass p2x=4 there (index/io loads choose
     # it by seq_len in seed_dispatch).
-    TBUD = (8 if big else 2 * p2x) * B
-    PBUD2 = (128 if big else 32 * p2x) * B   # pass-2 backward-pool lanes
+    # p2x>1 budgets re-measured at 3.1 Gbp (round 5): 9,562 tasks and
+    # ~220k walk lanes per 4096-read batch — 2.3 tasks/read of an
+    # 8/read budget. Trimmed to p2x/read tasks and 24*p2x walk lanes
+    # (1.7x / 1.8x headroom); the adaptive escalation path catches
+    # genomes beyond that. p2x=1 budgets are FULL at the bench fixture
+    # (1.79 tasks/read of 2/read; 73% walk fill) — do not trim.
+    if big:
+        TBUD, PBUD2 = 8 * B, 128 * B
+    elif p2x == 1:
+        TBUD, PBUD2 = 2 * B, 32 * B
+    else:
+        TBUD, PBUD2 = p2x * B, 24 * p2x * B
     # backward-walk window: each chunk is a while_loop over a CS-lane
     # slice of the sorted pool, exiting at the chunk's own max walk.
     # Finer chunks waste fewer dead iterations but pay a fixed per-chunk
