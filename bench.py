@@ -441,7 +441,12 @@ def bench_e2e_big(opt, subdir, tag, n=8192):
     n_workers = min(8, max(1, (os.cpu_count() or 4) - 2))
     pipe = AlignPipeline(opt, fm, paired=False, n_workers=n_workers,
                          aligner_kw=dict(smem_L=SMEM_L, wave_cap=4096,
-                                         qmax=QMAX, tmax=TMAX + 192))
+                                         qmax=QMAX, tmax=TMAX + 192,
+                                         # Gbp first-compiles exceed
+                                         # 300 s through the tunnel;
+                                         # don't let the hang watchdog
+                                         # dump the run to host golden
+                                         device_timeout=1200.0))
     done = []
     try:
         pipe.run(iter([reads[:4096]]), done.extend)  # warm/compile

@@ -79,11 +79,18 @@ class DeviceFM(NamedTuple):
             """Pad the leading dim to a power-of-two bucket: kernel shapes
             then depend only on the bucket, so different genomes reuse
             compiled programs (a fresh genome otherwise recompiles
-            everything — minutes through a remote-compile service)."""
+            everything — minutes through a remote-compile service).
+            Above 2^27 rows, pad to a multiple of 2^20 instead: Gbp-scale
+            genomes never share shapes anyway, and power-of-two padding
+            wasted ~2.6 GB of the human index's ~10 GB device upload
+            (minutes through the tunnel)."""
             n = arr.shape[0]
-            cap = 1024
-            while cap < n:
-                cap <<= 1
+            if n > (1 << 27):
+                cap = -(-n // (1 << 20)) * (1 << 20)
+            else:
+                cap = 1024
+                while cap < n:
+                    cap <<= 1
             if cap == n:
                 return arr
             out = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
