@@ -634,6 +634,19 @@ def main():
         except Exception as e:
             print(f"# real bwa PE failed: {e!r}", file=sys.stderr)
     spread_pass("post-PE")
+    if remaining() > 45:
+        try:
+            bam_rps = bench_sorted_bam()
+            if bam_rps:
+                extra["e2e_sorted_bam_reads_per_s"] = round(bam_rps, 1)
+                print(f"# e2e sorted BAM (align+markdup+sort+BAM): "
+                      f"{bam_rps:.0f} reads/s", file=sys.stderr)
+                print(headline(), flush=True)
+        except Exception as e:
+            print(f"# sorted BAM bench failed: {e!r}", file=sys.stderr)
+    else:
+        print(f"# skipping sorted-BAM phase ({remaining():.0f}s left)",
+              file=sys.stderr)
     if remaining() > 120:
         # human first among the heavy optionals: the 3.1 Gbp device
         # upload costs minutes through the tunnel and the verdict's
@@ -652,19 +665,6 @@ def main():
             print(f"# e2e 3.1Gbp genome failed: {e!r}", file=sys.stderr)
     else:
         print(f"# skipping 3.1Gbp phase ({remaining():.0f}s left)",
-              file=sys.stderr)
-    if remaining() > 45:
-        try:
-            bam_rps = bench_sorted_bam()
-            if bam_rps:
-                extra["e2e_sorted_bam_reads_per_s"] = round(bam_rps, 1)
-                print(f"# e2e sorted BAM (align+markdup+sort+BAM): "
-                      f"{bam_rps:.0f} reads/s", file=sys.stderr)
-                print(headline(), flush=True)
-        except Exception as e:
-            print(f"# sorted BAM bench failed: {e!r}", file=sys.stderr)
-    else:
-        print(f"# skipping sorted-BAM phase ({remaining():.0f}s left)",
               file=sys.stderr)
 
     if remaining() > 60:

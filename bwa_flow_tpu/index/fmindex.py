@@ -173,6 +173,9 @@ class FMIndex:
     sa_intv: int
     sa: np.ndarray            # int64[n_sa]; sa[0] == -1 sentinel (bwa/bwt.c:83)
     bns: ReferenceMeta | None = None
+    # artifact path prefix when loaded from disk (load_index) — lets
+    # derived device caches (.tpu.sadense.npy) persist beside the index
+    cache_prefix: str | None = None
 
     @classmethod
     def from_bwt(cls, bwt: np.ndarray, primary: int, sa_intv: int,

@@ -222,6 +222,7 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
                      fm_blocks=np.load(blocks_f, mmap_mode="r"),
                      sa_intv=int(d["sa_intv"]),
                      sa=np.load(sa_f, mmap_mode="r"), bns=bns)
+        fm.cache_prefix = prefix
         _apply_alt(prefix, bns, ignore_alt)
         _resample_sa(fm, prefix, use_cache)
         return fm
@@ -232,6 +233,7 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
                      L2=d["L2"], fm_blocks=d["fm_blocks"],
                      sa_intv=int(d["sa_intv"]), sa=d["sa"], bns=bns)
         _write_v2(fm)   # migrate to the mmap layout for the next load
+        fm.cache_prefix = prefix
         _apply_alt(prefix, bns, ignore_alt)
         _resample_sa(fm, prefix, use_cache)
         return fm
@@ -241,6 +243,7 @@ def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
     bns = read_ann_amb(prefix)
     _apply_alt(prefix, bns, ignore_alt)
     fm = FMIndex.from_bwt(bwt_u8, primary, sa_intv, sa, bns=bns)
+    fm.cache_prefix = prefix
     assert fm.seq_len == seq_len and (fm.L2 == L2).all()
     if use_cache:
         _write_v2(fm)

@@ -465,8 +465,24 @@ def _densify_sa(dfm: DeviceFM, fm: FMIndex) -> np.ndarray:
     """Full int32 SA for a sub-2^31 genome, computed once at index-upload
     time by running the batched LF walk over every row in fixed-shape
     chunks (the device does in seconds what turns SA resolution from a
-    ~sa_intv-step walk per probe into a single gather). Stragglers past
-    the iteration budget fall back to the host walk."""
+    ~sa_intv-step walk per probe into a single gather).
+
+    Cached on disk beside the index artifacts (<prefix>.tpu.sadense.npy
+    when load_index recorded a prefix): the densification cost ~20 s of
+    every fresh process's index load (measured round 5 — it dominated
+    the sorted-BAM CLI benchmark). Stragglers past the iteration budget
+    re-walk in ONE deep device call (the per-row host fallback did
+    millions of tiny memmapped reads, ~28 ms each)."""
+    import os
+    prefix = getattr(fm, "cache_prefix", None)
+    cachef = f"{prefix}.tpu.sadense.npy" if prefix else None
+    if cachef and os.path.exists(cachef):
+        try:
+            dense = np.load(cachef, mmap_mode="r")
+            if dense.shape[0] == int(fm.seq_len) + 1:
+                return dense
+        except (OSError, ValueError):
+            pass
     from . import fm as fmops
     # FM interval rows span [0, seq_len] INCLUSIVE (seq_len+1 values:
     # bwt_sa accepts k == seq_len), so densify one row past seq_len
@@ -480,7 +496,24 @@ def _densify_sa(dfm: DeviceFM, fm: FMIndex) -> np.ndarray:
         packed = np.asarray(sa_batch_packed(dfm, jnp.asarray(pad), 1024,
                                              int(fm.sa_intv)))
         vals = packed[0, :m].astype(np.int32)
-        for j in np.nonzero(packed[1, :m] != 0)[0]:
+        ovf = np.nonzero(packed[1, :m] != 0)[0]
+        if len(ovf) > 256:
+            # one deep device redo for the straggler tail
+            W = 1024
+            while W < len(ovf):
+                W <<= 1
+            pad2 = np.zeros(W, dtype=np.int64)
+            pad2[:len(ovf)] = off + ovf
+            p2 = np.asarray(sa_batch_packed(dfm, jnp.asarray(pad2),
+                                            16384, 0))
+            vals[ovf] = p2[0, :len(ovf)].astype(np.int32)
+            ovf = ovf[p2[1, :len(ovf)] != 0]
+        for j in ovf:
             vals[j] = fmops.bwt_sa(fm, off + int(j))
         out[off:off + m] = vals
+    if cachef:
+        try:
+            np.save(cachef, out)
+        except OSError:
+            pass
     return out
