@@ -14,6 +14,11 @@ from __future__ import annotations
 import struct
 import zlib
 
+try:  # native batch encoder + multithreaded BGZF (native/_bam.cpp)
+    from bwa_flow_tpu import _bam as _native_bam
+except ImportError:  # pragma: no cover - fallback is the golden path
+    _native_bam = None
+
 BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
@@ -209,19 +214,32 @@ class BamWriter:
     """Streaming BGZF BAM writer (WriteOutput stage analog,
     /root/reference/src/Pipeline.cpp:828-892)."""
 
-    def __init__(self, path, anns, header_text: str = ""):
+    def __init__(self, path, anns, header_text: str = "", nthreads: int = 4):
         self.fh = open(path, "wb") if not hasattr(path, "write") else path
         self.name_to_tid = {ann.name: i for i, ann in enumerate(anns)}
+        self._names = b"".join(a.name.encode() + b"\x00" for a in anns)
+        self._nthreads = nthreads
         self._buf = bytearray()
         self._write_raw(bam_header_bytes(anns, header_text))
 
     def _write_raw(self, data: bytes) -> None:
         self._buf += data
-        while len(self._buf) >= 0xFF00:
-            self.fh.write(bgzf_block(bytes(self._buf[:0xFF00])))
-            del self._buf[:0xFF00]
+        n_full = (len(self._buf) // 0xFF00) * 0xFF00
+        if not n_full:
+            return
+        if _native_bam is not None:
+            self.fh.write(_native_bam.bgzf(bytes(self._buf[:n_full]), 6,
+                                           self._nthreads))
+            del self._buf[:n_full]
+        else:
+            while len(self._buf) >= 0xFF00:
+                self.fh.write(bgzf_block(bytes(self._buf[:0xFF00])))
+                del self._buf[:0xFF00]
 
     def write_sam_text(self, sam: str) -> None:
+        if _native_bam is not None:
+            self._write_raw(_native_bam.sam_to_bam(sam, self._names))
+            return
         for line in sam.splitlines():
             if line and not line.startswith("@"):
                 self._write_raw(sam_line_to_bam(line, self.name_to_tid))

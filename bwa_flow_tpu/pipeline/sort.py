@@ -20,6 +20,11 @@ import struct
 from ..io.bam import BamWriter, bgzf_compress, bgzf_decompress, \
     decode_bam_records, sam_line_to_bam
 
+try:  # native batch encoder/scanner (native/_bam.cpp)
+    from bwa_flow_tpu import _bam as _native_bam
+except ImportError:  # pragma: no cover - fallback is the golden path
+    _native_bam = None
+
 
 def sort_key_from_raw(raw: bytes) -> int:
     """bam1_lt key from a raw BAM record (tid, pos, strand)."""
@@ -48,6 +53,9 @@ class BucketSort:
         self.bucket_size = (total + num_buckets - 1) // num_buckets
         self.files = [open(os.path.join(temp_dir, f"bucket-{i:06d}.bamr"),
                            "wb") for i in range(num_buckets + 1)]
+        self._names = b"".join(a.name.encode() + b"\x00" for a in anns)
+        import numpy as _np
+        self._acc64 = _np.asarray(self.acc, _np.int64).tobytes()
         self._write_beds()
 
     def _write_beds(self) -> None:
@@ -73,6 +81,14 @@ class BucketSort:
         return min((self.acc[tid] + pos) // self.bucket_size, self.n - 1)
 
     def write_sam_text(self, sam: str) -> None:
+        if _native_bam is not None:
+            chunks = _native_bam.sam_to_bam_bucketed(
+                sam, self._names, self._acc64, self.bucket_size, self.n,
+                self.drop_dups, self.filter_unmap)
+            for b, raw in enumerate(chunks):
+                if raw:
+                    self.files[b].write(raw)
+            return
         for line in sam.splitlines():
             if not line or line.startswith("@"):
                 continue
@@ -100,6 +116,13 @@ def _load_sorted_bucket(path: str):
     import numpy as np
     with open(path, "rb") as f:
         data = f.read()
+    if _native_bam is not None:
+        rows = np.frombuffer(_native_bam.scan_records(data),
+                             np.int64).reshape(-1, 5)
+        if len(rows):
+            order = np.lexsort((rows[:, 4], rows[:, 3], rows[:, 2]))
+            return data, rows[:, 0], rows[:, 1], order
+        return data, rows[:, 0], rows[:, 1], []
     offs: list[int] = []
     lens: list[int] = []
     utid: list[int] = []
@@ -143,6 +166,14 @@ def merge_sorted_bam(bucket_paths: list[str], out_path: str, anns,
             data, offs, lens, order = nxt.result()
             nxt = ex.submit(_load_sorted_bucket, bucket_paths[i + 1]) \
                 if i + 1 < len(bucket_paths) else None
+            if _native_bam is not None and len(order):
+                import numpy as np
+                o = np.asarray(order)
+                so = np.ascontiguousarray(np.asarray(offs, np.int64)[o])
+                sl = np.ascontiguousarray(np.asarray(lens, np.int64)[o])
+                w.write_record(_native_bam.gather(data, so.tobytes(),
+                                                  sl.tobytes()))
+                continue
             mv = memoryview(data)
             for idx in order:
                 w.write_record(mv[offs[idx]:offs[idx] + lens[idx]])

@@ -39,5 +39,12 @@ setup(
             sources=["native/_wave.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "bwa_flow_tpu._bam",
+            sources=["native/_bam.cpp"],
+            extra_compile_args=["-O3", "-std=c++17", "-pthread"],
+            extra_link_args=["-pthread"],
+            libraries=["z"],
+        ),
     ],
 )

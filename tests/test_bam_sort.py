@@ -113,3 +113,52 @@ def test_cli_sorted_bam(tmp_path):
     assert keys == sorted(keys)
     dups = [r for r in recs if r["flag"] & 0x400]
     assert len(dups) == 1 and dups[0]["qname"] == "dup0"
+
+
+def test_native_bam_parity():
+    """native/_bam.cpp must be byte-identical to the Python golden
+    encoder (sam_line_to_bam) and BGZF writer on a varied fixture."""
+    _bam = pytest.importorskip("bwa_flow_tpu._bam")
+    rng = np.random.default_rng(7)
+    names = {"chr1": 0, "chr2": 1}
+    lines = []
+    for i in range(200):
+        l = int(rng.integers(20, 150))
+        seq = "".join("ACGTNacgtn"[j] for j in rng.integers(0, 10, l))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 42, l))
+        if i % 17 == 0:
+            lines.append(f"u{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t*")
+            continue
+        chrom = "chr1" if i % 3 else "chr2"
+        pos = int(rng.integers(1, 2000))
+        s = int(rng.integers(0, 5))
+        cig = (f"{s}S" if s else "") + f"{l - s}M"
+        flag = int(rng.choice([0, 16, 99, 147, 83, 1024, 256]))
+        tags = "\tNM:i:3\tAS:i:77\tXA:Z:chr2,-5,10M,1;\tZb:B:s,-4,9"
+        lines.append(f"r{i}\t{flag}\t{chrom}\t{pos}\t37\t{cig}\t=\t"
+                     f"{pos + 7}\t{l}\t{seq}\t{qual}{tags}")
+    sam = "@HD\tVN:1.6\n" + "\n".join(lines) + "\n"
+    py = b"".join(sam_line_to_bam(l, names) for l in lines)
+    nat = _bam.sam_to_bam(sam, b"chr1\x00chr2\x00")
+    assert nat == py
+    assert _bam.bgzf(py, 6, 3) == bgzf_compress(py)
+    rows = np.frombuffer(_bam.scan_records(py), np.int64).reshape(-1, 5)
+    assert len(rows) == len(lines)
+    for off, ln, utid, pos1, rev in rows[:20]:
+        assert sort_key_from_raw(py[off:off + ln]) == \
+            (((int(utid) << 32) | int(pos1)) << 1) | int(rev)
+    # bucketed encode routes identically to the Python BucketSort path
+    acc = np.asarray([0, 5000, 8000], np.int64)
+    chunks = _bam.sam_to_bam_bucketed(sam, b"chr1\x00chr2\x00",
+                                      acc.tobytes(), 1000, 8, False, False)
+    assert b"".join(chunks) != b""
+    got = {}
+    for b, raw in enumerate(chunks):
+        for r in np.frombuffer(_bam.scan_records(raw),
+                               np.int64).reshape(-1, 5):
+            rec = raw[r[0]:r[0] + r[1]]
+            tid, pos = struct.unpack_from("<ii", rec, 4)
+            exp = 8 if tid < 0 else min((acc[tid] + pos) // 1000, 7)
+            assert b == exp
+            got[rec] = b
+    assert len(got) == len(lines)
