@@ -15,7 +15,11 @@ import struct
 import zlib
 
 try:  # native batch encoder + multithreaded BGZF (native/_bam.cpp)
-    from bwa_flow_tpu import _bam as _native_bam
+    import os as _os
+    if _os.environ.get("BWA_TPU_NO_NATIVE_BAM"):
+        _native_bam = None
+    else:
+        from bwa_flow_tpu import _bam as _native_bam
 except ImportError:  # pragma: no cover - fallback is the golden path
     _native_bam = None
 

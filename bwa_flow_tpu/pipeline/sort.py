@@ -21,7 +21,11 @@ from ..io.bam import BamWriter, bgzf_compress, bgzf_decompress, \
     decode_bam_records, sam_line_to_bam
 
 try:  # native batch encoder/scanner (native/_bam.cpp)
-    from bwa_flow_tpu import _bam as _native_bam
+    import os as _os
+    if _os.environ.get("BWA_TPU_NO_NATIVE_BAM"):
+        _native_bam = None
+    else:
+        from bwa_flow_tpu import _bam as _native_bam
 except ImportError:  # pragma: no cover - fallback is the golden path
     _native_bam = None
 
